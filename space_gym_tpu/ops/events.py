@@ -1,0 +1,61 @@
+"""Termination event functions.
+
+Mirrors gym_space/dynamic_model.py:183-217: continuous functions of the state
+that are positive iff the state is non-terminal.  All are `terminal=True`
+upstream with direction 0, so a termination fires on any sign change of any
+component between consecutive accepted integrator steps.
+
+Event vector layout (order matters — it is the tie-break order on simultaneous
+roots, matching the list construction order upstream):
+    [per-planet crash (P entries), world_max, world_min, angular_velocity]
+
+The "border-as-planet" trick (DoNotCrash/Kepler fly *inside* a zero-mass planet
+whose radius is the outer boundary — do_not_crash.py:17-18, kepler.py:205-206)
+needs no special handling: the planet-crash event distance goes negative when
+leaving the border disk.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def make_event_fn(
+    planet_radii: Sequence[float],
+    world_size: float,
+    max_abs_vel_angle: float,
+):
+    """Build `g(planets_pos, y) -> (E,)`, E = P + 3.
+
+    Components positive iff non-terminal:
+      * planet i:  ||planet_i - ship_xy|| - radius_i      (dynamic_model.py:187-194)
+      * world max: min(ws/2 - x, ws/2 - y)                (dynamic_model.py:196-201)
+      * world min: min(ws/2 + x, ws/2 + y)                (dynamic_model.py:203-208)
+      * ang. vel.: max_abs_vel_angle - |omega|            (dynamic_model.py:210-215)
+    """
+    radii = tuple(float(r) for r in planet_radii)
+    half = world_size / 2
+
+    def event_fn(planets_pos: jax.Array, y: jax.Array) -> jax.Array:
+        pos_xy = y[0:2]
+        planet_g = jnp.linalg.norm(planets_pos - pos_xy, axis=-1) - jnp.asarray(
+            radii, dtype=y.dtype
+        )
+        world_max = jnp.min(half - pos_xy)
+        world_min = jnp.min(half + pos_xy)
+        ang_vel = max_abs_vel_angle - jnp.abs(y[5])
+        return jnp.concatenate(
+            [planet_g, jnp.stack([world_max, world_min, ang_vel])]
+        )
+
+    return event_fn
+
+
+def crossings(g_old: jax.Array, g_new: jax.Array) -> jax.Array:
+    """Sign-change mask, replicating scipy's find_active_events with direction=0:
+    up = (g_old <= 0) & (g_new >= 0); down = (g_old >= 0) & (g_new <= 0)."""
+    up = (g_old <= 0) & (g_new >= 0)
+    down = (g_old >= 0) & (g_new <= 0)
+    return up | down
