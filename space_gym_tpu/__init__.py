@@ -1,0 +1,12 @@
+"""space_gym_tpu — TPU-native rebuild of the Space-Gym spaceship-control RL
+environment suite (reference: MIMUW-RL/space-gym).
+
+Public surface:
+  * make(env_id)            — old-Gym-API single-env adapter (drop-in)
+  * env_ids() / get_config  — typed-config registry of all upstream env IDs
+  * space_gym_tpu.engine    — vectorized jit/vmap/scan env engine (the fast path)
+  * space_gym_tpu.ops       — dynamics, integrators, events
+"""
+from .registry import env_ids, get_config, make, register  # noqa: F401
+
+__version__ = "0.1.0"

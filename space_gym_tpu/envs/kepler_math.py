@@ -1,0 +1,100 @@
+"""Kepler reference-orbit math (gym_space/envs/kepler.py:43-150).
+
+Written once against a generic array namespace `xp` (numpy for the host
+parity adapter, jax.numpy for the device engine) with the reference's exact
+operation order, so both paths produce identical f64 values.
+"""
+from __future__ import annotations
+
+from ..ops.constants import G  # noqa: F401  (re-exported for callers)
+
+
+def semi_minor(xp, a, ecc):
+    """Semi-minor axis (kepler.py:43-45)."""
+    return xp.sqrt(a * a * (1 - ecc * ecc))
+
+
+def focal_dist(xp, a, b):
+    """Focal-point distance from the ellipse centre (kepler.py:47-49)."""
+    return xp.sqrt(a * a - b * b)
+
+
+def rotate(xp, pos_xy, alpha):
+    """Rotation by alpha via the reference's 2x2 matrix dot (kepler.py:51-58)."""
+    row0 = xp.stack([xp.cos(alpha), xp.sin(alpha)], axis=-1)
+    row1 = xp.stack([-xp.sin(alpha), xp.cos(alpha)], axis=-1)
+    R = xp.stack([row0, row1], axis=-2)
+    return xp.dot(R, pos_xy)
+
+
+def orbit_vel(xp, alpha_gm, r, ref_a):
+    """Vis-viva speed on the reference orbit (kepler.py:60-62);
+    alpha_gm = G * planet_mass precomputed in python floats like upstream."""
+    return xp.sqrt(alpha_gm * (2 / r - 1 / ref_a))
+
+
+def _shifted_wz(xp, pos_xy, ref_angle, a, ecc):
+    b = semi_minor(xp, a, ecc)
+    pos_wz = rotate(xp, pos_xy, ref_angle)
+    c = focal_dist(xp, a, b)
+    w = pos_wz[..., 0] - c
+    return xp.stack([w, pos_wz[..., 1]], axis=-1), b, c
+
+
+def orbit_target_vel(xp, alpha_gm, pos_xy, ref_angle, ref_a, ecc, curl=1.0):
+    """Tangential target velocity on the reference ellipse (kepler.py:64-88)."""
+    a = ref_a
+    pos_wz, b, c = _shifted_wz(xp, pos_xy, ref_angle, a, ecc)
+    theta = xp.arctan2(pos_wz[..., 1], pos_wz[..., 0])
+    target_rad = b / xp.sqrt(1 - (ecc * xp.cos(theta)) ** 2)
+    pos_wz = pos_wz * target_rad / xp.linalg.norm(pos_wz)
+    vt = xp.stack(
+        [-curl * a / b * pos_wz[..., 1], curl * b / a * pos_wz[..., 0]], axis=-1
+    )
+    r = xp.linalg.norm(pos_wz + xp.stack([c, xp.zeros_like(c)], axis=-1))
+    vt = vt * orbit_vel(xp, alpha_gm, r, a) / xp.linalg.norm(vt)
+    return rotate(xp, vt, -ref_angle)
+
+
+def orbit_cur_rad(xp, pos_xy, ref_angle, ref_a, ecc):
+    """Current radius w.r.t. the occupied focal point (kepler.py:90-96)."""
+    pos_wz, _, _ = _shifted_wz(xp, pos_xy, ref_angle, ref_a, ecc)
+    return xp.linalg.norm(pos_wz)
+
+
+def orbit_target_rad(xp, pos_xy, ref_angle, ref_a, ecc):
+    """Reference-orbit radius at the current angle (kepler.py:98-109)."""
+    pos_wz, b, _ = _shifted_wz(xp, pos_xy, ref_angle, ref_a, ecc)
+    theta = xp.arctan2(pos_wz[..., 1], pos_wz[..., 0])
+    return b / xp.sqrt(1 - (ecc * xp.cos(theta)) ** 2)
+
+
+def dense_reward(
+    xp,
+    alpha_gm,
+    pos_xy,
+    vel_xy,
+    act_penalty,
+    ref_angle,
+    ref_a,
+    ecc,
+    numerator_C,
+    rad_penalty_C,
+    act_penalty_C,
+):
+    """_dense_reward5 (kepler.py:111-150): C shrinks toward 1 as radius,
+    velocity and action-energy deviations from the reference orbit vanish."""
+    cur_rad = orbit_cur_rad(xp, pos_xy, ref_angle, ref_a, ecc)
+    target_vel = orbit_target_vel(xp, alpha_gm, pos_xy, ref_angle, ref_a, ecc)
+    target_rad = orbit_target_rad(xp, pos_xy, ref_angle, ref_a, ecc)
+    rad_penalty = xp.abs(cur_rad - target_rad)
+    vel_x_penalty = xp.abs(target_vel[..., 0] - vel_xy[..., 0])
+    vel_y_penalty = xp.abs(target_vel[..., 1] - vel_xy[..., 1])
+    C = numerator_C
+    return C / (
+        rad_penalty_C * rad_penalty
+        + vel_x_penalty
+        + vel_y_penalty
+        + act_penalty_C * act_penalty
+        + C
+    )

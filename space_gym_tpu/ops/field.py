@@ -42,15 +42,27 @@ class ShipParams(NamedTuple):
     max_thruster_force: float
 
 
-def apply_steering_override(ship: ShipParams, y: jax.Array, action: jax.Array) -> jax.Array:
+def apply_steering_override(
+    ship: ShipParams, y: jax.Array, action: jax.Array, f32_action: bool = False
+) -> jax.Array:
     """Pre-step state fixup equivalent to the reference's in-place RHS mutation.
 
     In velocity steering the reference sets y[5] := thruster * 5.0 inside every
     RHS call (dynamic_model.py:138-141); since the mutated component has zero
     derivative this equals overriding it once before integrating.
+
+    `f32_action=True` replicates the continuous envs' mixed precision: the
+    raw action is float32 (spaceship_env.py:69-71) and NumPy>=2 evaluates
+    float32 * python-float in float32, so the override value is f32-rounded
+    before landing in the f64 state.
     """
     if ship.steering == STEERING_VELOCITY:
-        return y.at[..., 5].set(VELOCITY_STEERING_SCALE * action[..., 1])
+        thr = action[..., 1]
+        if f32_action:
+            val = (thr.astype(jnp.float32) * jnp.float32(VELOCITY_STEERING_SCALE)).astype(y.dtype)
+        else:
+            val = VELOCITY_STEERING_SCALE * thr
+        return y.at[..., 5].set(val)
     return y
 
 
@@ -60,12 +72,19 @@ def ship_vector_field(
     planets_pos: jax.Array,  # (P, 2)
     action: jax.Array,  # (2,) = (engine in [0,1], thruster in [-1,1])
     y: jax.Array,  # (6,)
+    f32_action: bool = False,
 ) -> jax.Array:
     """dy/dt for the ship (dynamic_model.py:129-176), pure-functional.
 
     `planet_masses` is a static sequence (python floats) so the per-planet
     accumulation unrolls at trace time; `planets_pos` is a traced (P, 2) array
     because Goal envs re-sample planet positions every episode.
+
+    `f32_action=True` replicates the continuous envs' mixed precision under
+    NumPy>=2: the float32 action times python-float ship constants stays
+    float32 (engine force scalar, thruster torque, torque/moi) before being
+    combined with the f64 state — these roundings are visible in reference
+    trajectories.
     """
     engine_action = action[..., 0]
     thruster_action = action[..., 1]
@@ -73,10 +92,18 @@ def ship_vector_field(
     angle = y[..., 2]
 
     # External force due to the action (dynamic_model.py:168-176).
-    engine_force_scalar = engine_action * ship.max_engine_force
+    if f32_action:
+        f32 = jnp.float32
+        engine_force_scalar = (
+            engine_action.astype(f32) * f32(ship.max_engine_force)
+        ).astype(y.dtype)
+        ext_force_angle_f32 = thruster_action.astype(f32) * f32(ship.max_thruster_force)
+        ext_force_angle = ext_force_angle_f32.astype(y.dtype)
+    else:
+        engine_force_scalar = engine_action * ship.max_engine_force
+        ext_force_angle = thruster_action * ship.max_thruster_force
     engine_force_direction = -maths.angle_to_unit_vector(angle)
     ext_force_xy = engine_force_direction * engine_force_scalar[..., None]
-    ext_force_angle = thruster_action * ship.max_thruster_force
 
     # Gravity accumulated planet-by-planet in order (dynamic_model.py:155-157).
     force_xy = ext_force_xy
@@ -87,7 +114,13 @@ def ship_vector_field(
     acceleration_xy = force_xy / ship.mass
 
     if ship.steering == STEERING_ACCELERATION:
-        acceleration_angle = ext_force_angle / ship.moi
+        if f32_action:
+            # f32 torque / python-float moi stays f32 upstream (dynamic_model.py:161)
+            acceleration_angle = (
+                ext_force_angle_f32 / jnp.float32(ship.moi)
+            ).astype(y.dtype)
+        else:
+            acceleration_angle = ext_force_angle / ship.moi
     else:
         acceleration_angle = jnp.zeros_like(ext_force_angle)
 
