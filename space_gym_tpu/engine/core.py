@@ -1,0 +1,429 @@
+"""Vectorized env engine: pure-functional batched Space-Gym on device.
+
+This is the TPU-first replacement for the reference's single-env Python loop
+(gym_space/envs/spaceship_env.py:59-78 + gym's TimeLimit): env state is a
+PyTree of arrays with a leading batch axis, `step` is one fused jit/vmap
+kernel covering action translation -> ODE integration with terminal events ->
+observation -> reward (including Goal's mid-episode goal resampling,
+goal.py:154-157) -> termination/truncation -> masked auto-reset, and rollouts
+are `lax.scan` over time.  Nothing touches the host between steps.
+
+Physics modes:
+  * "fixed"    — static-substep Dormand-Prince (ops.fixed_rk), lockstep across
+                 the batch, the throughput path (default).
+  * "adaptive" — the scipy-faithful adaptive RK45 with Brent event refinement
+                 (ops.rk45), vmapped; slower under vmap because lanes mask-wait
+                 for the slowest accept/reject sequence, but matches the
+                 reference integrator to ~ulp in f64.
+
+Auto-reset follows the standard lockstep-RL convention (gymnax/brax): when a
+lane terminates or truncates, `TimeStep.obs` is the first observation of the
+new episode and `TimeStep.final_obs` carries the terminal observation for
+bootstrapping.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..envs import kepler_math
+from ..envs.config import TASK_GOAL, TASK_KEPLER, EnvConfig
+from ..ops import events as events_mod
+from ..ops import field, fixed_rk, rk45
+from ..ops.constants import G
+from ..tiling import device as dtiling
+
+# Discrete action table (spaceship_env.py:189-202).
+DISCRETE_ACTIONS = (
+    (0.0, 0.0),
+    (1.0, 0.0),
+    (0.0, -1.0),
+    (0.0, 1.0),
+    (1.0, -1.0),
+    (1.0, 1.0),
+)
+
+
+class EnvState(NamedTuple):
+    """Per-lane dynamic state; the engine always holds a batched version."""
+
+    y: jax.Array                      # (6,) [x, y, theta, vx, vy, omega]
+    planets_pos: jax.Array            # (P, 2)
+    goal_pos: jax.Array               # (2,)  (zeros for non-Goal tasks)
+    ref_orbit: jax.Array              # (3,) [angle, ecc, a] (zeros unless Kepler)
+    tiling: Optional[dtiling.TilingState]  # None unless Goal
+    steps: jax.Array                  # () int32 — elapsed steps this episode
+    key: jax.Array                    # per-lane PRNG key
+
+
+class TimeStep(NamedTuple):
+    obs: jax.Array         # post-auto-reset observation (next policy input)
+    reward: jax.Array
+    terminated: jax.Array  # physics termination (crash/out-of-world/spin)
+    truncated: jax.Array   # TimeLimit truncation (max_episode_steps)
+    done: jax.Array        # terminated | truncated
+    final_obs: jax.Array   # pre-reset observation (bootstrap target when truncated)
+
+
+class EnvEngine:
+    """Batched device engine for one EnvConfig.
+
+    >>> eng = EnvEngine(get_config("GoalContinuous2P-v0"))
+    >>> state, obs = eng.init(jax.random.key(0), 4096)
+    >>> state, ts = eng.step(state, actions)          # (4096, 2) actions
+    >>> state, traj = eng.rollout(state, obs, key, policy, 100)
+    """
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        physics: str = "fixed",
+        dtype=jnp.float32,
+        substeps: int = 2,
+        refine_iters: int = 20,
+        auto_reset: bool = True,
+        f32_actions: bool = False,
+    ):
+        if physics not in ("fixed", "adaptive"):
+            raise ValueError(f"physics must be 'fixed' or 'adaptive', got {physics!r}")
+        self.config = config
+        self.physics = physics
+        self.dtype = dtype
+        self.substeps = substeps
+        self.refine_iters = refine_iters
+        self.auto_reset = auto_reset
+        # Parity knob: replicate the reference's float32 action arithmetic in
+        # continuous envs (spaceship_env.py:69-71 casts actions to f32; NumPy
+        # then keeps f32 through the force/torque products).  Native mode uses
+        # uniform engine-dtype math instead.
+        self.f32_actions = f32_actions
+        self._event_fn = events_mod.make_event_fn(
+            config.planet_radii, config.world_size, config.max_abs_vel_angle
+        )
+        k = config.kepler
+        self._alpha_gm = G * k.planet_mass if k is not None else 0.0
+
+        self.step = jax.jit(jax.vmap(self._step))
+        self.reset = jax.jit(jax.vmap(self._reset_with_obs))
+
+    # ------------------------------------------------------------------ API --
+    def init(self, key: jax.Array, batch_size: int):
+        """Fresh batched state + first observations."""
+        keys = jax.random.split(key, batch_size)
+        return self.reset(keys)
+
+    def rollout(
+        self,
+        state: EnvState,
+        obs: jax.Array,
+        key: jax.Array,
+        policy_fn: Callable[[jax.Array, jax.Array], jax.Array],
+        n_steps: int,
+    ):
+        """`lax.scan` rollout: policy_fn(key, obs[B, D]) -> raw_action[B, ...].
+
+        Returns (final_state, final_obs, TimeStep stacked over time [T, B, ...]).
+        """
+        step = jax.vmap(self._step)
+
+        def body(carry, _):
+            st, ob, k = carry
+            k, k_act = jax.random.split(k)
+            action = policy_fn(k_act, ob)
+            st, ts = step(st, action)
+            return (st, ts.obs, k), ts
+
+        (state, obs, _), traj = jax.lax.scan(body, (state, obs, key), None, length=n_steps)
+        return state, obs, traj
+
+    def random_policy(self):
+        """Uniform random policy over the action space (for benchmarks)."""
+        if self.config.continuous:
+            def pol(key, obs):
+                return jax.random.uniform(
+                    key, (obs.shape[0], 2), dtype=self.dtype, minval=-1.0, maxval=1.0
+                )
+        else:
+            def pol(key, obs):
+                return jax.random.randint(key, (obs.shape[0],), 0, self.config.n_actions)
+        return pol
+
+    # ------------------------------------------------------------ internals --
+    def _reset_with_obs(self, key: jax.Array):
+        state = self._reset(key)
+        return state, self._observe(state)
+
+    def _reset(self, key: jax.Array) -> EnvState:
+        cfg = self.config
+        dtype = self.dtype
+        key, sub = jax.random.split(key)
+        if cfg.task == TASK_GOAL:
+            ts, y, planets, goal, ref = self._reset_goal(sub)
+        elif cfg.task == TASK_KEPLER:
+            ts, y, planets, goal, ref = self._reset_kepler(sub)
+        else:
+            ts, y, planets, goal, ref = self._reset_dnc(sub)
+        return EnvState(
+            y=y.astype(dtype),
+            planets_pos=planets.astype(dtype),
+            goal_pos=goal.astype(dtype),
+            ref_orbit=ref.astype(dtype),
+            tiling=ts,
+            steps=jnp.asarray(0, jnp.int32),
+            key=key,
+        )
+
+    def _reset_goal(self, key):
+        """goal.py:133-145, on device with JAX randomness."""
+        cfg = self.config
+        dtype = self.dtype
+        k_tile, k_goal, k_angle, k_vel, k_w = jax.random.split(key, 5)
+        ts, ship_pos, planets = dtiling.tiling_reset(cfg.tiling, k_tile, dtype)
+        ts, goal = dtiling.find_new_goal(cfg.tiling, ts, k_goal, dtype)
+        angle = jax.random.uniform(k_angle, (), dtype, maxval=2 * jnp.pi)
+        vel = jax.random.normal(k_vel, (2,), dtype) * 0.07
+        max_w = 0.7 * cfg.max_abs_vel_angle
+        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 3, -max_w, max_w)
+        y = jnp.concatenate([ship_pos, angle[None], vel, w[None]])
+        return ts, y, planets, goal, jnp.zeros((3,), dtype)
+
+    def _reset_kepler(self, key):
+        """kepler.py:233-267; `randomize` resamples the reference orbit."""
+        cfg = self.config
+        k = cfg.kepler
+        dtype = self.dtype
+        k_pa, k_d, k_sa, k_orb, k_vel, k_w = jax.random.split(key, 6)
+        planet_angle = jax.random.uniform(k_pa, (), dtype, maxval=2 * jnp.pi)
+        dist = jax.random.uniform(
+            k_d, (), dtype, minval=k.planet_radius + 0.5, maxval=k.border_radius - 0.5
+        )
+        pos = jnp.stack([jnp.cos(planet_angle), jnp.sin(planet_angle)]) * dist
+        ship_angle = jax.random.uniform(k_sa, (), dtype, maxval=2 * jnp.pi)
+        if k.randomize:
+            u = jax.random.uniform(k_orb, (2,), dtype)
+            ecc = u[0] * 0.7
+            orbit_angle = u[1] * 2 * jnp.pi
+        else:
+            ecc = jnp.asarray(k.ref_orbit_eccentricity, dtype)
+            orbit_angle = jnp.asarray(k.ref_orbit_angle, dtype)
+        ref = jnp.stack([orbit_angle, ecc, jnp.asarray(k.ref_orbit_a, dtype)])
+        vel = jax.random.normal(k_vel, (2,), dtype) * 0.05
+        max_w = 0.7 * cfg.max_abs_vel_angle
+        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 5, -max_w, max_w)
+        y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
+        planets = jnp.asarray(self.config.fixed_planet_pos, dtype)
+        return None, y, planets, jnp.zeros((2,), dtype), ref
+
+    def _reset_dnc(self, key):
+        """do_not_crash.py:34-45."""
+        cfg = self.config
+        d = cfg.dnc
+        dtype = self.dtype
+        k_pa, k_d, k_sa, k_vel, k_w = jax.random.split(key, 5)
+        planet_angle = jax.random.uniform(k_pa, (), dtype, maxval=2 * jnp.pi)
+        dist = jax.random.uniform(
+            k_d, (), dtype, minval=d.planet_radius + 0.2, maxval=d.border_radius - 0.15
+        )
+        pos = jnp.stack([jnp.cos(planet_angle), jnp.sin(planet_angle)]) * dist
+        ship_angle = jax.random.uniform(k_sa, (), dtype, maxval=2 * jnp.pi)
+        vel = jax.random.normal(k_vel, (2,), dtype) * 0.07
+        max_w = 0.7 * cfg.max_abs_vel_angle
+        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 3, -max_w, max_w)
+        y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
+        planets = jnp.asarray(cfg.fixed_planet_pos, dtype)
+        return None, y, planets, jnp.zeros((2,), dtype), jnp.zeros((3,), dtype)
+
+    # ----------------------------------------------------------------- step --
+    def _translate_action(self, raw_action):
+        """spaceship_env.py:189-214 as branchless table lookup / rescale."""
+        if self.config.continuous:
+            a = jnp.clip(raw_action.astype(self.dtype), -1.0, 1.0)
+            return jnp.stack([(a[0] + 1) / 2, a[1]])
+        table = jnp.asarray(DISCRETE_ACTIONS, self.dtype)
+        return table[raw_action]
+
+    def _physics(self, y0, action, planets_pos):
+        cfg = self.config
+        ship = cfg.ship
+
+        f32a = self.f32_actions and cfg.continuous
+
+        def rhs(_t, y):
+            return field.ship_vector_field(
+                ship, cfg.planet_masses, planets_pos, action, y, f32_action=f32a
+            )
+
+        def ev(y):
+            return self._event_fn(planets_pos, y)
+
+        y0 = field.apply_steering_override(ship, y0, action, f32_action=f32a)
+        if self.physics == "fixed":
+            out = fixed_rk.fixed_solve_step(
+                rhs, ev, y0, cfg.step_size,
+                n_substeps=self.substeps, refine_iters=self.refine_iters,
+            )
+        else:
+            out = rk45.solve_step(rhs, ev, y0, cfg.step_size)
+        y = field.wrap_ship_angle(out.y)
+        return y, out.terminated
+
+    def _step(self, state: EnvState, raw_action):
+        cfg = self.config
+        key, k_goal, k_reset = jax.random.split(state.key, 3)
+        action = self._translate_action(raw_action)
+        last_xy = state.y[0:2]
+
+        y, terminated = self._physics(state.y, action, state.planets_pos)
+        steps = state.steps + 1
+        truncated = jnp.asarray(steps >= cfg.max_episode_steps) & ~terminated
+        done = terminated | truncated
+
+        reward, goal_pos, tiling = self._reward(state, y, last_xy, action, k_goal)
+
+        cont = EnvState(
+            y=y,
+            planets_pos=state.planets_pos,
+            goal_pos=goal_pos,
+            ref_orbit=state.ref_orbit,
+            tiling=tiling,
+            steps=steps,
+            key=key,
+        )
+        final_obs = self._observe(cont)
+
+        if self.auto_reset:
+            fresh = self._reset(k_reset)
+            new_state = jax.tree.map(
+                lambda a, b: jnp.where(done, a, b), fresh, cont
+            )
+            obs = jnp.where(done, self._observe(fresh), final_obs)
+        else:
+            new_state = cont
+            obs = final_obs
+
+        return new_state, TimeStep(
+            obs=obs,
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            done=done,
+            final_obs=final_obs,
+        )
+
+    # --------------------------------------------------------------- reward --
+    def _reward(self, state: EnvState, y, last_xy, action, k_goal):
+        cfg = self.config
+        if cfg.task == TASK_GOAL:
+            return self._goal_reward(state, y, last_xy, k_goal)
+        if cfg.task == TASK_KEPLER:
+            r = self._kepler_reward(state, y, action)
+        else:
+            r = jnp.asarray(cfg.dnc.reward_per_step, self.dtype)
+        return r, state.goal_pos, state.tiling
+
+    def _goal_reward(self, state: EnvState, y, last_xy, k_goal):
+        """goal.py:147-158 (+ _goal_vel_reward2 :160-164,
+        _safety_reward_simple2 :204-227) with on-device goal resampling on
+        reach (quirk Q11: the reward transition is stateful + RNG-consuming)."""
+        cfg = self.config
+        p = cfg.goal
+        pos = y[0:2]
+
+        cur_dist = jnp.linalg.norm(state.goal_pos - pos)
+        last_dist = jnp.linalg.norm(state.goal_pos - last_xy)
+        goal_vel_reward = (last_dist - cur_dist) * p.distance_fctr
+
+        dists = jnp.linalg.norm(state.planets_pos - pos, axis=-1)
+        closest = jnp.argmin(dists)
+        mindist = dists[closest]
+        radius = jnp.asarray(cfg.planet_radii, self.dtype)[closest]
+        prev_dist = jnp.linalg.norm(last_xy - state.planets_pos[closest])
+        in_danger = (mindist - radius) < p.danger_zone
+        approaching = prev_dist > mindist
+        safety = jnp.where(
+            in_danger & approaching, -p.distance_fctr * (prev_dist - mindist), 0.0
+        )
+
+        reward = (
+            p.survival_reward_scale
+            + p.goal_vel_reward_scale * goal_vel_reward
+            + p.safety_reward_scale * safety
+        )
+        reached = cur_dist < cfg.goal_radius
+        reward = reward + jnp.where(reached, p.goal_sparse_reward, 0.0)
+
+        new_tiling, new_goal = dtiling.find_new_goal(
+            cfg.tiling, state.tiling, k_goal, self.dtype
+        )
+        tiling = jax.tree.map(
+            lambda a, b: jnp.where(reached, a, b), new_tiling, state.tiling
+        )
+        goal_pos = jnp.where(reached, new_goal, state.goal_pos)
+        return reward.astype(self.dtype), goal_pos, tiling
+
+    def _kepler_reward(self, state: EnvState, y, action):
+        """_dense_reward5 (kepler.py:111-150)."""
+        k = self.config.kepler
+        ref = state.ref_orbit
+        act_penalty = jnp.linalg.norm(action)
+        return kepler_math.dense_reward(
+            jnp,
+            jnp.asarray(self._alpha_gm, self.dtype),
+            y[0:2],
+            y[3:5],
+            act_penalty,
+            ref[0],
+            ref[2],
+            ref[1],
+            k.numerator_C,
+            k.rad_penalty_C,
+            k.act_penalty_C,
+        ).astype(self.dtype)
+
+    # ---------------------------------------------------------- observation --
+    def _observe(self, state: EnvState) -> jax.Array:
+        """spaceship_env.py:113-140 (raw/unnormalized, quirk Q1) + Kepler's
+        appended orbit params (kepler.py:172-187)."""
+        cfg = self.config
+        y = state.y
+        pos = y[0:2]
+        parts = [
+            pos,
+            jnp.stack([jnp.cos(y[2]), jnp.sin(y[2])]),
+            y[3:5],
+            y[5:6],
+        ]
+        if cfg.with_lidar:
+            radii = jnp.asarray(cfg.planet_radii, self.dtype)
+            parts.append(self._lidar(pos, state.planets_pos, radii).reshape(-1))
+            if cfg.with_goal:
+                parts.append(self._lidar(pos, state.goal_pos, 0.0))
+        obs = jnp.concatenate(parts)
+        if cfg.task == TASK_KEPLER:
+            # obs order is [angle, ecc, a] (kepler.py:180-185)
+            obs = jnp.concatenate([obs, state.ref_orbit])
+        return obs
+
+    def _lidar(self, ship_pos, obj_pos, obj_radius):
+        """_create_lidar_vector (spaceship_env.py:133-140), broadcast over
+        objects: unit(ship->obj) * (dist - radius) * 2 / world_size."""
+        v = obj_pos - ship_pos
+        ang = jnp.mod(jnp.arctan2(v[..., 1], v[..., 0]), 2 * jnp.pi)
+        scale = (jnp.linalg.norm(v, axis=-1) - obj_radius) * 2 / self.config.world_size
+        return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1) * scale[..., None]
+
+
+@functools.lru_cache(maxsize=None)
+def get_engine(env_id: str, physics: str = "fixed", substeps: int = 2, x64: bool = False):
+    """Cached engine factory (engines are stateless; jit caches live on them)."""
+    from ..registry import get_config
+
+    return EnvEngine(
+        get_config(env_id),
+        physics=physics,
+        dtype=jnp.float64 if x64 else jnp.float32,
+        substeps=substeps,
+    )

@@ -1,0 +1,140 @@
+"""Fixed-substep Dormand-Prince integrator — the throughput physics path.
+
+The reference's physics runtime is an *adaptive* scipy RK45 with event
+root-finding (gym_space/dynamic_model.py:94-125); its TPU-exact twin lives in
+space_gym_tpu.ops.rk45.  That twin is bit-faithful but its data-dependent
+while-loops serialize badly under vmap (every lane waits for the slowest
+accept/reject sequence).  This module is the TPU-first alternative used by the
+vectorized engine: a *static* number of Dormand-Prince 5(4) substeps per
+control interval, fully unrolled at trace time, so a whole env batch advances
+in lockstep with zero divergence — pure fused VPU work under jit/vmap.
+
+Event semantics match the reference's (SURVEY.md Q8): events are checked at
+every substep endpoint; on a sign change the event time is refined by
+bisection on the substep's quartic dense-output polynomial and the returned
+state is the state AT the (earliest) event time, not at t = step_size.  With
+`refine_iters=20` the event time is resolved to ~h/2^20 — beyond f32
+resolution of the state, matching scipy's brentq placement for practical
+purposes (the strict-parity path remains ops.rk45).
+
+Accuracy: two DP5 substeps over a 0.07 s control interval carry a local error
+O((h/2)^6) ~ 1e-9 on these dynamics — tighter than the reference's own
+rtol=1e-3 adaptive tolerance (scipy defaults, dynamic_model.py:112-118).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rk45 import N_STAGES, dense_eval, dense_q, rk_step
+
+
+class FixedSolveResult(NamedTuple):
+    y: jax.Array          # state at t_final (event time if terminated, else t_bound)
+    t: jax.Array
+    terminated: jax.Array  # bool: some terminal event fired this control step
+    event_index: jax.Array  # int32 index of the earliest fired event (or -1)
+
+
+def _refine_event_times(event_fn, sol, g_lo, g_hi, t_lo, t_hi, refine_iters: int):
+    """Per-event bisection of the root of g_e(sol(t)) on [t_lo, t_hi].
+
+    `g_lo`/`g_hi` are the event values at the substep endpoints, shape (E,).
+    Events without a sign change converge to garbage and must be masked by the
+    caller.  All E events are refined together: each iteration evaluates the
+    dense polynomial at E candidate times and the event function on each
+    candidate state (E x E values, diagonal taken) — E is tiny (P + 3).
+    """
+    n_events = g_lo.shape[0]
+    lo = jnp.full((n_events,), t_lo, dtype=g_lo.dtype)
+    hi = jnp.full((n_events,), t_hi, dtype=g_lo.dtype)
+    f_lo = g_lo
+
+    def body(_, carry):
+        lo, hi, f_lo = carry
+        mid = 0.5 * (lo + hi)
+        y_mid = jax.vmap(sol)(mid)                      # (E, n)
+        g_mid = jax.vmap(event_fn)(y_mid)               # (E, E)
+        g_mid_diag = jnp.diagonal(g_mid)                # (E,)
+        # Root in [lo, mid] iff sign(f_lo) != sign(g_mid) (or g_mid == 0).
+        left = jnp.signbit(f_lo) != jnp.signbit(g_mid_diag)
+        left = left | (g_mid_diag == 0)
+        hi = jnp.where(left, mid, hi)
+        new_lo = jnp.where(left, lo, mid)
+        f_lo = jnp.where(left, f_lo, g_mid_diag)
+        return new_lo, hi, f_lo
+
+    lo, hi, _ = jax.lax.fori_loop(0, refine_iters, body, (lo, hi, f_lo))
+    return hi  # first point at/past the sign change, like scipy's root placement
+
+
+def fixed_solve_step(
+    rhs: Callable[[jax.Array, jax.Array], jax.Array],
+    event_fn: Callable[[jax.Array], jax.Array],
+    y0: jax.Array,
+    t_bound,
+    n_substeps: int = 2,
+    refine_iters: int = 20,
+) -> FixedSolveResult:
+    """Integrate one control interval [0, t_bound] with `n_substeps` equal
+    Dormand-Prince 5(4) steps, stopping at the first terminal-event root.
+
+    Single-env signature (y0: (n,), event_fn: (n,) -> (E,)); batch via vmap.
+    The substep loop is a Python loop — it unrolls at trace time into straight
+    XLA code with no control flow, which is what lets the whole env batch fuse.
+    """
+    dtype = y0.dtype
+    t_bound = jnp.asarray(t_bound, dtype)
+    h = t_bound / n_substeps
+
+    t = jnp.zeros((), dtype)
+    y = y0
+    f = rhs(t, y0)
+    g = event_fn(y0)
+
+    terminated = jnp.asarray(False)
+    y_final = y0
+    t_final = t
+    event_index = jnp.asarray(-1, jnp.int32)
+
+    for _ in range(n_substeps):
+        y_new, f_new, K = rk_step(rhs, t, y, f, h)
+        t_new = t + h
+        g_new = event_fn(y_new)
+
+        # scipy find_active_events with direction=0 (dynamic_model events are
+        # all direction-agnostic terminal events).
+        up = (g <= 0) & (g_new >= 0)
+        down = (g >= 0) & (g_new <= 0)
+        active = up | down
+        any_event = jnp.any(active) & ~terminated
+
+        Q = dense_q([K[j] for j in range(N_STAGES + 1)])
+        t_cap, y_cap, h_cap = t, y, h  # capture loop-carried values for sol
+
+        def sol(tq, t_=t_cap, y_=y_cap, h_=h_cap, Q_=Q):
+            return dense_eval(t_, h_, y_, Q_, tq)
+
+        roots = _refine_event_times(event_fn, sol, g, g_new, t, t_new, refine_iters)
+        roots = jnp.where(active, roots, jnp.asarray(jnp.inf, dtype))
+        e_idx = jnp.argmin(roots).astype(jnp.int32)
+        t_root = roots[e_idx]
+        y_root = sol(t_root)
+
+        y_final = jnp.where(any_event, y_root, jnp.where(terminated, y_final, y_new))
+        t_final = jnp.where(any_event, t_root, jnp.where(terminated, t_final, t_new))
+        event_index = jnp.where(any_event, e_idx, event_index)
+        terminated = terminated | any_event
+
+        # Freeze terminated lanes (avoids integrating through a planet where
+        # gravity blows up); non-terminated lanes carry the FSAL derivative.
+        y = jnp.where(terminated, y_final, y_new)
+        f = jnp.where(terminated, jnp.zeros_like(f_new), f_new)
+        g = jnp.where(terminated, g, g_new)
+        t = t_new
+
+    return FixedSolveResult(
+        y=y_final, t=t_final, terminated=terminated, event_index=event_index
+    )

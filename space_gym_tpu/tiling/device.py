@@ -1,0 +1,158 @@
+"""JAX-native hexagonal-tiling sampler — the on-device reset path.
+
+Distribution-equivalent rewrite of the reference HexagonalTiling sampler
+(gym_space/hexagonal_tiling.py:53-134) as pure functions of a PRNG key, fully
+branchless so they jit and vmap over the env batch:
+
+* tile choice without replacement -> jax.random.permutation / Gumbel-top-k
+  (both induce the same uniform-subset distribution as
+  RandomState.choice(replace=False))
+* the 2-planet diagonal special case (hexagonal_tiling.py:75-89) -> masked
+  select instead of a Python branch
+* goal candidate scoring (farthest taxi distance of <= MAX_GOAL_CANDIDATES
+  random free tiles, hexagonal_tiling.py:95-128) -> top-k over Gumbel-masked
+  free tiles; ties break on random candidate order in both implementations
+
+Bitwise RNG parity with the reference's MT19937 draws is NOT a goal here —
+that is what the host twin (space_gym_tpu.tiling.host.HostTiling) provides for
+the parity adapter.  This module is the performance path: everything stays on
+device, thousands of lanes reset per microsecond.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import maths
+from .geometry import DIAGONAL_CASES, MAX_GOAL_CANDIDATES, TilingGeometry
+
+
+class TilingState(NamedTuple):
+    """Per-lane dynamic tiling state (mirrors the mutable fields of the
+    reference HexagonalTiling instance)."""
+
+    free: jax.Array       # (n_tiles,) bool — tile unoccupied
+    ship_tile: jax.Array  # int32
+    goal_tile: jax.Array  # int32, -1 until the first goal is placed
+    case_b: jax.Array     # bool  (hexagonal_tiling.py:69)
+    flip_xy: jax.Array    # bool
+    col_shift: jax.Array  # (cols,) cumulative random column shifts
+
+
+def tile_center_pos(geom: TilingGeometry, ts: TilingState, tile_nr: jax.Array) -> jax.Array:
+    """Centre of tile(s) `tile_nr` under the episode's case/flip/shift
+    (hexagonal_tiling.py:136-158).  tile_nr: scalar or (N,) -> (..., 2)."""
+    coords = jnp.asarray(geom.tiles_coord, jnp.int32)
+    rc = coords[tile_nr]
+    row = rc[..., 0].astype(ts.col_shift.dtype)
+    col = rc[..., 1]
+    colf = col.astype(ts.col_shift.dtype)
+
+    zero_x = -geom.world_size / 2 + geom.hex_width / 2
+    zero_y = geom.world_size / 2 - geom.hex_height / 2
+    zero_y = jnp.where(ts.case_b, zero_y - geom.hex_height / 2, zero_y)
+
+    x = zero_x + colf * 1.5 * geom.a + ts.col_shift[col]
+    y_cols = -(col % 2).astype(colf.dtype) * geom.hex_height / 2
+    y_cols = jnp.where(ts.case_b, -y_cols, y_cols)
+    y = zero_y - row * geom.hex_height + y_cols
+    pos = jnp.stack([x, y], axis=-1)
+    return jnp.where(ts.flip_xy, pos[..., ::-1], pos)
+
+
+def _disk_sample(geom, ts, key, tile_nr, radius, dtype):
+    """Disc position inside a tile: centre + uniform-disk noise of radius
+    hex_height/2 - obj_radius (hexagonal_tiling.py:130-134)."""
+    center = tile_center_pos(geom, ts, tile_nr).astype(dtype)
+    noise_radius = jnp.asarray(geom.hex_height / 2, dtype) - radius
+    return center + maths.uniform_disk(key, noise_radius, dtype=dtype)
+
+
+def tiling_reset(geom: TilingGeometry, key: jax.Array, dtype=jnp.float32):
+    """Sample the episode layout + ship/planet positions.
+
+    Returns (TilingState, ship_pos (2,), planets_pos (n_planets, 2)).
+    Reference flow: hexagonal_tiling.py:53-93.
+    """
+    k_case, k_shift, k_tiles, k_diag_p, k_diag, k_disk = jax.random.split(key, 6)
+    n = geom.n_tiles
+    n_obj = geom.n_planets + 1  # ship + planets; goal placed separately
+
+    case_b, flip_xy = jax.random.uniform(k_case, (2,)) < 0.5
+    raw = jax.random.uniform(k_shift, (geom.cols,), dtype=dtype)
+    cum = jnp.cumsum(raw)
+    free_x_space = geom.world_size - geom.tiling_width
+    col_shift = cum * (free_x_space / cum[-1])
+
+    tiles = jax.random.permutation(k_tiles, n)[:n_obj].astype(jnp.int32)
+    if geom.n_planets == 2:
+        # 25% forced diagonal layouts (hexagonal_tiling.py:75-87).
+        use_diag = jax.random.uniform(k_diag_p, ()) < 0.25
+        case = jax.random.randint(k_diag, (), 0, len(DIAGONAL_CASES))
+        diag = jnp.asarray(DIAGONAL_CASES, jnp.int32)[case]
+        tiles = jnp.where(use_diag, diag, tiles)
+
+    free = jnp.ones((n,), bool).at[tiles].set(False)
+    ts = TilingState(
+        free=free,
+        ship_tile=tiles[0],
+        goal_tile=jnp.asarray(-1, jnp.int32),
+        case_b=case_b,
+        flip_xy=flip_xy,
+        col_shift=col_shift,
+    )
+    radii = jnp.asarray(
+        [geom.ship_radius] + geom.n_planets * [geom.planets_radius], dtype
+    )
+    positions = _disk_sample(geom, ts, k_disk, tiles, radii, dtype)
+    return ts, positions[0], positions[1:]
+
+
+def find_new_goal(geom: TilingGeometry, ts: TilingState, key: jax.Array, dtype=jnp.float32):
+    """Place a (new) goal; returns (TilingState, goal_pos (2,)).
+
+    Reference flow (hexagonal_tiling.py:95-128): on subsequent goals the ship
+    logically moves into the old goal tile; with p=0.25 the goal shares the
+    ship tile, otherwise it is the taxi-farthest of <= MAX_GOAL_CANDIDATES
+    uniformly-drawn free tiles.
+    """
+    k_same, k_gumbel, k_disk = jax.random.split(key, 3)
+    coords = jnp.asarray(geom.tiles_coord, jnp.int32)
+
+    subsequent = ts.goal_tile >= 0
+    free = jnp.where(subsequent, ts.free.at[ts.ship_tile].set(True), ts.free)
+    ship_tile = jnp.where(subsequent, ts.goal_tile, ts.ship_tile)
+
+    # Gumbel-top-k = uniform candidate subset of the free tiles, in random
+    # order (so argmax tie-breaking is random, like the reference's scan over
+    # randomly-ordered candidates).
+    gumbel = jax.random.gumbel(k_gumbel, (geom.n_tiles,))
+    masked = jnp.where(free, gumbel, -jnp.inf)
+    k_cand = min(MAX_GOAL_CANDIDATES, geom.n_tiles)
+    top_vals, top_idx = jax.lax.top_k(masked, k_cand)
+    valid = jnp.isfinite(top_vals)  # fewer than k_cand free tiles -> masked out
+
+    ship_rc = coords[ship_tile]
+    cand_rc = coords[top_idx]
+    taxi = jnp.sum(jnp.abs(cand_rc - ship_rc), axis=-1)
+    taxi = jnp.where(valid, taxi, -1)
+    best = top_idx[jnp.argmax(taxi)].astype(jnp.int32)
+
+    same = jax.random.uniform(k_same, ()) < 0.25
+    goal_tile = jnp.where(same, ship_tile, best)
+    free = jnp.where(same, free, free.at[best].set(False))
+
+    new_ts = TilingState(
+        free=free,
+        ship_tile=ship_tile,
+        goal_tile=goal_tile,
+        case_b=ts.case_b,
+        flip_xy=ts.flip_xy,
+        col_shift=ts.col_shift,
+    )
+    goal_pos = _disk_sample(
+        geom, new_ts, k_disk, goal_tile, jnp.asarray(geom.goal_radius, dtype), dtype
+    )
+    return new_ts, goal_pos
