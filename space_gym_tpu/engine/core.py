@@ -16,6 +16,13 @@ Physics modes:
                  for the slowest accept/reject sequence, but matches the
                  reference integrator to ~ulp in f64.
 
+Randomness: ONE bulk (batch, n) uniform draw per step, consumed per lane
+through utils.randvec.RandSource.  Profiling on TPU showed per-lane PRNG key
+trees (the naive functional-RL pattern) cost more than the physics itself; the
+bulk draw removes every per-lane threefry dependency chain, and per-lane state
+carries no key at all.  Each env config's exact per-step budget is counted by
+abstract tracing at engine construction.
+
 Auto-reset follows the standard lockstep-RL convention (gymnax/brax): when a
 lane terminates or truncates, `TimeStep.obs` is the first observation of the
 new episode and `TimeStep.final_obs` carries the terminal observation for
@@ -33,8 +40,10 @@ from ..envs import kepler_math
 from ..envs.config import TASK_GOAL, TASK_KEPLER, EnvConfig
 from ..ops import events as events_mod
 from ..ops import field, fixed_rk, rk45
+from ..ops.maths import onehot_take
 from ..ops.constants import G
 from ..tiling import device as dtiling
+from ..utils.randvec import RandSource
 
 # Discrete action table (spaceship_env.py:189-202).
 DISCRETE_ACTIONS = (
@@ -46,9 +55,12 @@ DISCRETE_ACTIONS = (
     (1.0, 1.0),
 )
 
+_PROBE = 4096  # RandSource size used for consumption counting
+
 
 class EnvState(NamedTuple):
-    """Per-lane dynamic state; the engine always holds a batched version."""
+    """Per-lane dynamic state; the engine always holds a batched version.
+    Deliberately key-free — randomness arrives per step via the bulk draw."""
 
     y: jax.Array                      # (6,) [x, y, theta, vx, vy, omega]
     planets_pos: jax.Array            # (P, 2)
@@ -56,7 +68,6 @@ class EnvState(NamedTuple):
     ref_orbit: jax.Array              # (3,) [angle, ecc, a] (zeros unless Kepler)
     tiling: Optional[dtiling.TilingState]  # None unless Goal
     steps: jax.Array                  # () int32 — elapsed steps this episode
-    key: jax.Array                    # per-lane PRNG key
 
 
 class TimeStep(NamedTuple):
@@ -73,8 +84,8 @@ class EnvEngine:
 
     >>> eng = EnvEngine(get_config("GoalContinuous2P-v0"))
     >>> state, obs = eng.init(jax.random.key(0), 4096)
-    >>> state, ts = eng.step(state, actions)          # (4096, 2) actions
-    >>> state, traj = eng.rollout(state, obs, key, policy, 100)
+    >>> state, ts = eng.step(state, actions, jax.random.key(1))
+    >>> state, obs, traj = eng.rollout(state, obs, key, policy, 100)
     """
 
     def __init__(
@@ -83,7 +94,7 @@ class EnvEngine:
         physics: str = "fixed",
         dtype=jnp.float32,
         substeps: int = 2,
-        refine_iters: int = 20,
+        refine_iters: int = 12,
         auto_reset: bool = True,
         f32_actions: bool = False,
     ):
@@ -103,17 +114,23 @@ class EnvEngine:
         self._event_fn = events_mod.make_event_fn(
             config.planet_radii, config.world_size, config.max_abs_vel_angle
         )
+        self._event_comp_fns = events_mod.make_event_component_fns(
+            config.planet_radii, config.world_size, config.max_abs_vel_angle
+        )
         k = config.kepler
         self._alpha_gm = G * k.planet_mass if k is not None else 0.0
 
-        self.step = jax.jit(jax.vmap(self._step))
-        self.reset = jax.jit(jax.vmap(self._reset_with_obs))
+        # --- per-lane randomness budgets, counted by abstract tracing ---
+        self.n_reset_rand = self._count_reset()
+        self.n_step_rand = self._count_step()
+
+        self.step = jax.jit(self._step_batched)
+        self.reset = jax.jit(self._reset_batched, static_argnums=1)
 
     # ------------------------------------------------------------------ API --
     def init(self, key: jax.Array, batch_size: int):
         """Fresh batched state + first observations."""
-        keys = jax.random.split(key, batch_size)
-        return self.reset(keys)
+        return self.reset(key, batch_size)
 
     def rollout(
         self,
@@ -127,13 +144,12 @@ class EnvEngine:
 
         Returns (final_state, final_obs, TimeStep stacked over time [T, B, ...]).
         """
-        step = jax.vmap(self._step)
 
         def body(carry, _):
             st, ob, k = carry
-            k, k_act = jax.random.split(k)
+            k, k_act, k_step = jax.random.split(k, 3)
             action = policy_fn(k_act, ob)
-            st, ts = step(st, action)
+            st, ts = self._step_batched(st, action, k_step)
             return (st, ts.obs, k), ts
 
         (state, obs, _), traj = jax.lax.scan(body, (state, obs, key), None, length=n_steps)
@@ -151,21 +167,72 @@ class EnvEngine:
                 return jax.random.randint(key, (obs.shape[0],), 0, self.config.n_actions)
         return pol
 
-    # ------------------------------------------------------------ internals --
-    def _reset_with_obs(self, key: jax.Array):
-        state = self._reset(key)
-        return state, self._observe(state)
+    # ------------------------------------------------- batched entry points --
+    def _reset_batched(self, key: jax.Array, batch_size: int):
+        u = jax.random.uniform(key, (batch_size, self.n_reset_rand), dtype=self.dtype)
 
-    def _reset(self, key: jax.Array) -> EnvState:
+        def lane(u_lane):
+            state = self._reset_lane(RandSource(u_lane))
+            return state, self._observe(state)
+
+        return jax.vmap(lane)(u)
+
+    def _step_batched(self, state: EnvState, raw_action, key: jax.Array):
+        batch = state.y.shape[0]
+        u = jax.random.uniform(key, (batch, self.n_step_rand), dtype=self.dtype)
+
+        def lane(st, a, u_lane):
+            return self._step_lane(st, a, RandSource(u_lane))
+
+        return jax.vmap(lane)(state, raw_action, u)
+
+    # ------------------------------------------------------ budget counting --
+    def _count_reset(self) -> int:
+        consumed = 0
+
+        def probe(u):
+            nonlocal consumed
+            rs = RandSource(u)
+            self._reset_lane(rs)
+            consumed = rs.i
+            return jnp.zeros(())
+
+        jax.eval_shape(probe, jax.ShapeDtypeStruct((_PROBE,), self.dtype))
+        return consumed
+
+    def _count_step(self) -> int:
+        state_sds = jax.eval_shape(
+            lambda u: self._reset_lane(RandSource(u)),
+            jax.ShapeDtypeStruct((self.n_reset_rand,), self.dtype),
+        )
+        if self.config.continuous:
+            act_sds = jax.ShapeDtypeStruct((2,), self.dtype)
+        else:
+            act_sds = jax.ShapeDtypeStruct((), jnp.int32)
+        consumed = 0
+
+        def probe(state, a, u):
+            nonlocal consumed
+            rs = RandSource(u)
+            self._step_lane(state, a, rs)
+            consumed = rs.i
+            return jnp.zeros(())
+
+        jax.eval_shape(
+            probe, state_sds, act_sds, jax.ShapeDtypeStruct((_PROBE,), self.dtype)
+        )
+        return consumed
+
+    # ------------------------------------------------------------ internals --
+    def _reset_lane(self, rs: RandSource) -> EnvState:
         cfg = self.config
         dtype = self.dtype
-        key, sub = jax.random.split(key)
         if cfg.task == TASK_GOAL:
-            ts, y, planets, goal, ref = self._reset_goal(sub)
+            ts, y, planets, goal, ref = self._reset_goal(rs)
         elif cfg.task == TASK_KEPLER:
-            ts, y, planets, goal, ref = self._reset_kepler(sub)
+            ts, y, planets, goal, ref = self._reset_kepler(rs)
         else:
-            ts, y, planets, goal, ref = self._reset_dnc(sub)
+            ts, y, planets, goal, ref = self._reset_dnc(rs)
         return EnvState(
             y=y.astype(dtype),
             planets_pos=planets.astype(dtype),
@@ -173,65 +240,61 @@ class EnvEngine:
             ref_orbit=ref.astype(dtype),
             tiling=ts,
             steps=jnp.asarray(0, jnp.int32),
-            key=key,
         )
 
-    def _reset_goal(self, key):
-        """goal.py:133-145, on device with JAX randomness."""
+    def _reset_goal(self, rs: RandSource):
+        """goal.py:133-145, on device."""
         cfg = self.config
         dtype = self.dtype
-        k_tile, k_goal, k_angle, k_vel, k_w = jax.random.split(key, 5)
-        ts, ship_pos, planets = dtiling.tiling_reset(cfg.tiling, k_tile, dtype)
-        ts, goal = dtiling.find_new_goal(cfg.tiling, ts, k_goal, dtype)
-        angle = jax.random.uniform(k_angle, (), dtype, maxval=2 * jnp.pi)
-        vel = jax.random.normal(k_vel, (2,), dtype) * 0.07
+        ts, ship_pos, planets = dtiling.tiling_reset(cfg.tiling, rs, dtype)
+        ts, goal = dtiling.find_new_goal(cfg.tiling, ts, rs, dtype)
+        angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
+        vel = rs.normal(2).astype(dtype) * 0.07
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 3, -max_w, max_w)
+        w = jnp.clip(rs.normal().astype(dtype) * max_w / 3, -max_w, max_w)
         y = jnp.concatenate([ship_pos, angle[None], vel, w[None]])
         return ts, y, planets, goal, jnp.zeros((3,), dtype)
 
-    def _reset_kepler(self, key):
+    def _reset_kepler(self, rs: RandSource):
         """kepler.py:233-267; `randomize` resamples the reference orbit."""
         cfg = self.config
         k = cfg.kepler
         dtype = self.dtype
-        k_pa, k_d, k_sa, k_orb, k_vel, k_w = jax.random.split(key, 6)
-        planet_angle = jax.random.uniform(k_pa, (), dtype, maxval=2 * jnp.pi)
-        dist = jax.random.uniform(
-            k_d, (), dtype, minval=k.planet_radius + 0.5, maxval=k.border_radius - 0.5
-        )
+        planet_angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
+        dist = rs.uniform(
+            minval=k.planet_radius + 0.5, maxval=k.border_radius - 0.5
+        ).astype(dtype)
         pos = jnp.stack([jnp.cos(planet_angle), jnp.sin(planet_angle)]) * dist
-        ship_angle = jax.random.uniform(k_sa, (), dtype, maxval=2 * jnp.pi)
+        ship_angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
         if k.randomize:
-            u = jax.random.uniform(k_orb, (2,), dtype)
+            u = rs.take(2).astype(dtype)
             ecc = u[0] * 0.7
             orbit_angle = u[1] * 2 * jnp.pi
         else:
             ecc = jnp.asarray(k.ref_orbit_eccentricity, dtype)
             orbit_angle = jnp.asarray(k.ref_orbit_angle, dtype)
         ref = jnp.stack([orbit_angle, ecc, jnp.asarray(k.ref_orbit_a, dtype)])
-        vel = jax.random.normal(k_vel, (2,), dtype) * 0.05
+        vel = rs.normal(2).astype(dtype) * 0.05
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 5, -max_w, max_w)
+        w = jnp.clip(rs.normal().astype(dtype) * max_w / 5, -max_w, max_w)
         y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
-        planets = jnp.asarray(self.config.fixed_planet_pos, dtype)
+        planets = jnp.asarray(cfg.fixed_planet_pos, dtype)
         return None, y, planets, jnp.zeros((2,), dtype), ref
 
-    def _reset_dnc(self, key):
+    def _reset_dnc(self, rs: RandSource):
         """do_not_crash.py:34-45."""
         cfg = self.config
         d = cfg.dnc
         dtype = self.dtype
-        k_pa, k_d, k_sa, k_vel, k_w = jax.random.split(key, 5)
-        planet_angle = jax.random.uniform(k_pa, (), dtype, maxval=2 * jnp.pi)
-        dist = jax.random.uniform(
-            k_d, (), dtype, minval=d.planet_radius + 0.2, maxval=d.border_radius - 0.15
-        )
+        planet_angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
+        dist = rs.uniform(
+            minval=d.planet_radius + 0.2, maxval=d.border_radius - 0.15
+        ).astype(dtype)
         pos = jnp.stack([jnp.cos(planet_angle), jnp.sin(planet_angle)]) * dist
-        ship_angle = jax.random.uniform(k_sa, (), dtype, maxval=2 * jnp.pi)
-        vel = jax.random.normal(k_vel, (2,), dtype) * 0.07
+        ship_angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
+        vel = rs.normal(2).astype(dtype) * 0.07
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(jax.random.normal(k_w, (), dtype) * max_w / 3, -max_w, max_w)
+        w = jnp.clip(rs.normal().astype(dtype) * max_w / 3, -max_w, max_w)
         y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
         planets = jnp.asarray(cfg.fixed_planet_pos, dtype)
         return None, y, planets, jnp.zeros((2,), dtype), jnp.zeros((3,), dtype)
@@ -243,12 +306,11 @@ class EnvEngine:
             a = jnp.clip(raw_action.astype(self.dtype), -1.0, 1.0)
             return jnp.stack([(a[0] + 1) / 2, a[1]])
         table = jnp.asarray(DISCRETE_ACTIONS, self.dtype)
-        return table[raw_action]
+        return onehot_take(table, raw_action.astype(jnp.int32))
 
     def _physics(self, y0, action, planets_pos):
         cfg = self.config
         ship = cfg.ship
-
         f32a = self.f32_actions and cfg.continuous
 
         def rhs(_t, y):
@@ -261,8 +323,11 @@ class EnvEngine:
 
         y0 = field.apply_steering_override(ship, y0, action, f32_action=f32a)
         if self.physics == "fixed":
+            ev_fns = tuple(
+                (lambda y, f=f: f(planets_pos, y)) for f in self._event_comp_fns
+            )
             out = fixed_rk.fixed_solve_step(
-                rhs, ev, y0, cfg.step_size,
+                rhs, ev_fns, y0, cfg.step_size,
                 n_substeps=self.substeps, refine_iters=self.refine_iters,
             )
         else:
@@ -270,9 +335,8 @@ class EnvEngine:
         y = field.wrap_ship_angle(out.y)
         return y, out.terminated
 
-    def _step(self, state: EnvState, raw_action):
+    def _step_lane(self, state: EnvState, raw_action, rs: RandSource):
         cfg = self.config
-        key, k_goal, k_reset = jax.random.split(state.key, 3)
         action = self._translate_action(raw_action)
         last_xy = state.y[0:2]
 
@@ -281,7 +345,7 @@ class EnvEngine:
         truncated = jnp.asarray(steps >= cfg.max_episode_steps) & ~terminated
         done = terminated | truncated
 
-        reward, goal_pos, tiling = self._reward(state, y, last_xy, action, k_goal)
+        reward, goal_pos, tiling = self._reward(state, y, last_xy, action, rs)
 
         cont = EnvState(
             y=y,
@@ -290,12 +354,11 @@ class EnvEngine:
             ref_orbit=state.ref_orbit,
             tiling=tiling,
             steps=steps,
-            key=key,
         )
         final_obs = self._observe(cont)
 
         if self.auto_reset:
-            fresh = self._reset(k_reset)
+            fresh = self._reset_lane(rs)
             new_state = jax.tree.map(
                 lambda a, b: jnp.where(done, a, b), fresh, cont
             )
@@ -314,17 +377,17 @@ class EnvEngine:
         )
 
     # --------------------------------------------------------------- reward --
-    def _reward(self, state: EnvState, y, last_xy, action, k_goal):
+    def _reward(self, state: EnvState, y, last_xy, action, rs: RandSource):
         cfg = self.config
         if cfg.task == TASK_GOAL:
-            return self._goal_reward(state, y, last_xy, k_goal)
+            return self._goal_reward(state, y, last_xy, rs)
         if cfg.task == TASK_KEPLER:
             r = self._kepler_reward(state, y, action)
         else:
             r = jnp.asarray(cfg.dnc.reward_per_step, self.dtype)
         return r, state.goal_pos, state.tiling
 
-    def _goal_reward(self, state: EnvState, y, last_xy, k_goal):
+    def _goal_reward(self, state: EnvState, y, last_xy, rs: RandSource):
         """goal.py:147-158 (+ _goal_vel_reward2 :160-164,
         _safety_reward_simple2 :204-227) with on-device goal resampling on
         reach (quirk Q11: the reward transition is stateful + RNG-consuming)."""
@@ -337,10 +400,11 @@ class EnvEngine:
         goal_vel_reward = (last_dist - cur_dist) * p.distance_fctr
 
         dists = jnp.linalg.norm(state.planets_pos - pos, axis=-1)
-        closest = jnp.argmin(dists)
-        mindist = dists[closest]
-        radius = jnp.asarray(cfg.planet_radii, self.dtype)[closest]
-        prev_dist = jnp.linalg.norm(last_xy - state.planets_pos[closest])
+        closest = jnp.argmin(dists).astype(jnp.int32)
+        mindist = jnp.min(dists)
+        radius = onehot_take(jnp.asarray(cfg.planet_radii, self.dtype), closest)
+        closest_pos = onehot_take(state.planets_pos, closest)
+        prev_dist = jnp.linalg.norm(last_xy - closest_pos)
         in_danger = (mindist - radius) < p.danger_zone
         approaching = prev_dist > mindist
         safety = jnp.where(
@@ -356,7 +420,7 @@ class EnvEngine:
         reward = reward + jnp.where(reached, p.goal_sparse_reward, 0.0)
 
         new_tiling, new_goal = dtiling.find_new_goal(
-            cfg.tiling, state.tiling, k_goal, self.dtype
+            cfg.tiling, state.tiling, rs, self.dtype
         )
         tiling = jax.tree.map(
             lambda a, b: jnp.where(reached, a, b), new_tiling, state.tiling

@@ -53,6 +53,34 @@ def make_event_fn(
     return event_fn
 
 
+def make_event_component_fns(
+    planet_radii: Sequence[float],
+    world_size: float,
+    max_abs_vel_angle: float,
+):
+    """Per-event scalar versions of `make_event_fn`, as a static tuple.
+
+    The fixed-substep integrator root-finds each event separately; giving it
+    one scalar function per event lets XLA dead-code-eliminate the unused
+    state components of the dense-output polynomial (planet/world events read
+    only x,y; the angular-velocity event reads only omega), instead of
+    evaluating the full event vector at every bisection candidate.
+    """
+    radii = tuple(float(r) for r in planet_radii)
+    half = world_size / 2
+
+    fns = []
+    for i, r in enumerate(radii):
+        def planet_ev(planets_pos, y, i=i, r=r):
+            return jnp.linalg.norm(planets_pos[i] - y[0:2]) - r
+
+        fns.append(planet_ev)
+    fns.append(lambda planets_pos, y: jnp.min(half - y[0:2]))
+    fns.append(lambda planets_pos, y: jnp.min(half + y[0:2]))
+    fns.append(lambda planets_pos, y: max_abs_vel_angle - jnp.abs(y[5]))
+    return tuple(fns)
+
+
 def crossings(g_old: jax.Array, g_new: jax.Array) -> jax.Array:
     """Sign-change mask, replicating scipy's find_active_events with direction=0:
     up = (g_old <= 0) & (g_new >= 0); down = (g_old >= 0) & (g_new <= 0)."""

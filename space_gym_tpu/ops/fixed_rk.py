@@ -12,18 +12,22 @@ in lockstep with zero divergence — pure fused VPU work under jit/vmap.
 Event semantics match the reference's (SURVEY.md Q8): events are checked at
 every substep endpoint; on a sign change the event time is refined by
 bisection on the substep's quartic dense-output polynomial and the returned
-state is the state AT the (earliest) event time, not at t = step_size.  With
-`refine_iters=20` the event time is resolved to ~h/2^20 — beyond f32
-resolution of the state, matching scipy's brentq placement for practical
-purposes (the strict-parity path remains ops.rk45).
+state is the state AT the (earliest) event time, not at t = step_size.
+Events are supplied as a static tuple of *scalar* functions (one per event,
+ops.events.make_event_component_fns) so that each root-find touches only the
+state components its event reads — XLA dead-code-eliminates the rest of the
+dense polynomial (planet/world events read x,y only; the spin event reads
+omega only).  With `refine_iters=12` the event time is resolved to h/2^12,
+i.e. position error ~|v|*1e-5 — far below the reference's own rtol=1e-3
+integration tolerance (the strict-parity path remains ops.rk45).
 
 Accuracy: two DP5 substeps over a 0.07 s control interval carry a local error
-O((h/2)^6) ~ 1e-9 on these dynamics — tighter than the reference's own
-rtol=1e-3 adaptive tolerance (scipy defaults, dynamic_model.py:112-118).
+O((h/2)^6) ~ 1e-9 on these dynamics — tighter than the reference's adaptive
+tolerance (scipy defaults, dynamic_model.py:112-118).
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,61 +42,59 @@ class FixedSolveResult(NamedTuple):
     event_index: jax.Array  # int32 index of the earliest fired event (or -1)
 
 
-def _refine_event_times(event_fn, sol, g_lo, g_hi, t_lo, t_hi, refine_iters: int):
-    """Per-event bisection of the root of g_e(sol(t)) on [t_lo, t_hi].
+def _refine_scalar(ev, sol, g_lo, t_lo, t_hi, iters: int):
+    """Bisect the root of ev(sol(t)) on [t_lo, t_hi] given the sign at t_lo.
 
-    `g_lo`/`g_hi` are the event values at the substep endpoints, shape (E,).
-    Events without a sign change converge to garbage and must be masked by the
-    caller.  All E events are refined together: each iteration evaluates the
-    dense polynomial at E candidate times and the event function on each
-    candidate state (E x E values, diagonal taken) — E is tiny (P + 3).
+    Returns the high end of the final bracket (first point at/past the sign
+    change — scipy's root placement up to tolerance).  Meaningless when there
+    is no sign change; the caller masks.
     """
-    n_events = g_lo.shape[0]
-    lo = jnp.full((n_events,), t_lo, dtype=g_lo.dtype)
-    hi = jnp.full((n_events,), t_hi, dtype=g_lo.dtype)
-    f_lo = g_lo
 
-    def body(_, carry):
-        lo, hi, f_lo = carry
+    lo, hi, f_lo = t_lo, t_hi, g_lo
+    # Statically unrolled: a lax loop here would emit one sequential while-op
+    # per event per substep, whose per-iteration sync overhead dwarfs the
+    # (B,)-wide arithmetic.  Unrolled, the whole refinement fuses into the
+    # step kernel as straight-line VPU code.
+    for _ in range(iters):
         mid = 0.5 * (lo + hi)
-        y_mid = jax.vmap(sol)(mid)                      # (E, n)
-        g_mid = jax.vmap(event_fn)(y_mid)               # (E, E)
-        g_mid_diag = jnp.diagonal(g_mid)                # (E,)
-        # Root in [lo, mid] iff sign(f_lo) != sign(g_mid) (or g_mid == 0).
-        left = jnp.signbit(f_lo) != jnp.signbit(g_mid_diag)
-        left = left | (g_mid_diag == 0)
-        hi = jnp.where(left, mid, hi)
-        new_lo = jnp.where(left, lo, mid)
-        f_lo = jnp.where(left, f_lo, g_mid_diag)
-        return new_lo, hi, f_lo
-
-    lo, hi, _ = jax.lax.fori_loop(0, refine_iters, body, (lo, hi, f_lo))
-    return hi  # first point at/past the sign change, like scipy's root placement
+        g_mid = ev(sol(mid))
+        left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
+        lo, hi, f_lo = (
+            jnp.where(left, lo, mid),
+            jnp.where(left, mid, hi),
+            jnp.where(left, f_lo, g_mid),
+        )
+    return hi
 
 
 def fixed_solve_step(
     rhs: Callable[[jax.Array, jax.Array], jax.Array],
-    event_fn: Callable[[jax.Array], jax.Array],
+    event_fns: Sequence[Callable[[jax.Array], jax.Array]],
     y0: jax.Array,
     t_bound,
     n_substeps: int = 2,
-    refine_iters: int = 20,
+    refine_iters: int = 12,
 ) -> FixedSolveResult:
     """Integrate one control interval [0, t_bound] with `n_substeps` equal
     Dormand-Prince 5(4) steps, stopping at the first terminal-event root.
 
-    Single-env signature (y0: (n,), event_fn: (n,) -> (E,)); batch via vmap.
-    The substep loop is a Python loop — it unrolls at trace time into straight
-    XLA code with no control flow, which is what lets the whole env batch fuse.
+    Single-env signature (y0: (n,), each event_fns[e]: (n,) -> scalar); batch
+    via vmap.  The substep loop is a Python loop — it unrolls at trace time
+    into straight XLA code with no control flow, which is what lets the whole
+    env batch fuse.
     """
     dtype = y0.dtype
     t_bound = jnp.asarray(t_bound, dtype)
     h = t_bound / n_substeps
+    n_events = len(event_fns)
+
+    def eval_events(y):
+        return jnp.stack([f(y) for f in event_fns])
 
     t = jnp.zeros((), dtype)
     y = y0
     f = rhs(t, y0)
-    g = event_fn(y0)
+    g = eval_events(y0)
 
     terminated = jnp.asarray(False)
     y_final = y0
@@ -102,7 +104,7 @@ def fixed_solve_step(
     for _ in range(n_substeps):
         y_new, f_new, K = rk_step(rhs, t, y, f, h)
         t_new = t + h
-        g_new = event_fn(y_new)
+        g_new = eval_events(y_new)
 
         # scipy find_active_events with direction=0 (dynamic_model events are
         # all direction-agnostic terminal events).
@@ -117,10 +119,13 @@ def fixed_solve_step(
         def sol(tq, t_=t_cap, y_=y_cap, h_=h_cap, Q_=Q):
             return dense_eval(t_, h_, y_, Q_, tq)
 
-        roots = _refine_event_times(event_fn, sol, g, g_new, t, t_new, refine_iters)
-        roots = jnp.where(active, roots, jnp.asarray(jnp.inf, dtype))
+        roots = []
+        for e in range(n_events):
+            root_e = _refine_scalar(event_fns[e], sol, g[e], t, t_new, refine_iters)
+            roots.append(jnp.where(active[e], root_e, jnp.asarray(jnp.inf, dtype)))
+        roots = jnp.stack(roots)
         e_idx = jnp.argmin(roots).astype(jnp.int32)
-        t_root = roots[e_idx]
+        t_root = jnp.min(roots)
         y_root = sol(t_root)
 
         y_final = jnp.where(any_event, y_root, jnp.where(terminated, y_final, y_new))

@@ -80,3 +80,20 @@ def max_dist_in_direction(max_pos: jax.Array, obj_pos: jax.Array, unit_vec: jax.
 def norm2(v: jax.Array) -> jax.Array:
     """Euclidean norm over the trailing axis."""
     return jnp.linalg.norm(v, axis=-1)
+
+
+def onehot_take(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """`table[idx]` for a SMALL leading axis, computed as a one-hot reduction.
+
+    TPU gathers/scatters with per-lane dynamic indices lower to slow
+    scatter/gather HLOs; for the tiny lookup tables in this workload
+    (<= ~16 tiles/planets/actions) a masked reduction is pure VPU work and
+    fuses with its neighbors.  table: (n, ...); idx: scalar or (m,) ->
+    table.shape[1:] or (m,) + table.shape[1:].
+    """
+    n = table.shape[0]
+    oh = idx[..., None] == jnp.arange(n, dtype=idx.dtype)  # (..., n)
+    extra = table.ndim - 1
+    oh = oh.reshape(oh.shape + (1,) * extra)
+    t = table.reshape((1,) * (oh.ndim - table.ndim) + table.shape)
+    return jnp.sum(jnp.where(oh, t, 0), axis=-1 - extra)

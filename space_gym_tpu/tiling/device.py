@@ -4,14 +4,18 @@ Distribution-equivalent rewrite of the reference HexagonalTiling sampler
 (gym_space/hexagonal_tiling.py:53-134) as pure functions of a PRNG key, fully
 branchless so they jit and vmap over the env batch:
 
-* tile choice without replacement -> jax.random.permutation / Gumbel-top-k
-  (both induce the same uniform-subset distribution as
-  RandomState.choice(replace=False))
+* tile choice without replacement -> argsort-of-uniforms permutation /
+  top-k-of-uniform-scores (both induce the same uniform-subset distribution
+  as RandomState.choice(replace=False))
 * the 2-planet diagonal special case (hexagonal_tiling.py:75-89) -> masked
   select instead of a Python branch
 * goal candidate scoring (farthest taxi distance of <= MAX_GOAL_CANDIDATES
-  random free tiles, hexagonal_tiling.py:95-128) -> top-k over Gumbel-masked
+  random free tiles, hexagonal_tiling.py:95-128) -> top-k over score-masked
   free tiles; ties break on random candidate order in both implementations
+
+All randomness is consumed from a RandSource (utils.randvec) — one lane's
+slice of the engine's single bulk per-step draw — instead of per-lane PRNG
+key trees, which profiling showed dominate the step cost on TPU.
 
 Bitwise RNG parity with the reference's MT19937 draws is NOT a goal here —
 that is what the host twin (space_gym_tpu.tiling.host.HostTiling) provides for
@@ -25,7 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import maths
+from ..ops.maths import onehot_take
+from ..utils.randvec import RandSource
 from .geometry import DIAGONAL_CASES, MAX_GOAL_CANDIDATES, TilingGeometry
 
 
@@ -45,7 +50,7 @@ def tile_center_pos(geom: TilingGeometry, ts: TilingState, tile_nr: jax.Array) -
     """Centre of tile(s) `tile_nr` under the episode's case/flip/shift
     (hexagonal_tiling.py:136-158).  tile_nr: scalar or (N,) -> (..., 2)."""
     coords = jnp.asarray(geom.tiles_coord, jnp.int32)
-    rc = coords[tile_nr]
+    rc = onehot_take(coords, tile_nr)
     row = rc[..., 0].astype(ts.col_shift.dtype)
     col = rc[..., 1]
     colf = col.astype(ts.col_shift.dtype)
@@ -54,7 +59,7 @@ def tile_center_pos(geom: TilingGeometry, ts: TilingState, tile_nr: jax.Array) -
     zero_y = geom.world_size / 2 - geom.hex_height / 2
     zero_y = jnp.where(ts.case_b, zero_y - geom.hex_height / 2, zero_y)
 
-    x = zero_x + colf * 1.5 * geom.a + ts.col_shift[col]
+    x = zero_x + colf * 1.5 * geom.a + onehot_take(ts.col_shift, col)
     y_cols = -(col % 2).astype(colf.dtype) * geom.hex_height / 2
     y_cols = jnp.where(ts.case_b, -y_cols, y_cols)
     y = zero_y - row * geom.hex_height + y_cols
@@ -62,39 +67,40 @@ def tile_center_pos(geom: TilingGeometry, ts: TilingState, tile_nr: jax.Array) -
     return jnp.where(ts.flip_xy, pos[..., ::-1], pos)
 
 
-def _disk_sample(geom, ts, key, tile_nr, radius, dtype):
+def _disk_sample(geom, ts, rs: RandSource, tile_nr, radius, dtype):
     """Disc position inside a tile: centre + uniform-disk noise of radius
     hex_height/2 - obj_radius (hexagonal_tiling.py:130-134)."""
     center = tile_center_pos(geom, ts, tile_nr).astype(dtype)
     noise_radius = jnp.asarray(geom.hex_height / 2, dtype) - radius
-    return center + maths.uniform_disk(key, noise_radius, dtype=dtype)
+    return center + rs.disk(noise_radius).astype(dtype)
 
 
-def tiling_reset(geom: TilingGeometry, key: jax.Array, dtype=jnp.float32):
+def tiling_reset(geom: TilingGeometry, rs: RandSource, dtype=jnp.float32):
     """Sample the episode layout + ship/planet positions.
 
     Returns (TilingState, ship_pos (2,), planets_pos (n_planets, 2)).
     Reference flow: hexagonal_tiling.py:53-93.
     """
-    k_case, k_shift, k_tiles, k_diag_p, k_diag, k_disk = jax.random.split(key, 6)
     n = geom.n_tiles
     n_obj = geom.n_planets + 1  # ship + planets; goal placed separately
 
-    case_b, flip_xy = jax.random.uniform(k_case, (2,)) < 0.5
-    raw = jax.random.uniform(k_shift, (geom.cols,), dtype=dtype)
+    case_b, flip_xy = rs.take(2) < 0.5
+    raw = rs.take(geom.cols).astype(dtype)
     cum = jnp.cumsum(raw)
     free_x_space = geom.world_size - geom.tiling_width
     col_shift = cum * (free_x_space / cum[-1])
 
-    tiles = jax.random.permutation(k_tiles, n)[:n_obj].astype(jnp.int32)
+    tiles = rs.permutation(n)[:n_obj]
     if geom.n_planets == 2:
         # 25% forced diagonal layouts (hexagonal_tiling.py:75-87).
-        use_diag = jax.random.uniform(k_diag_p, ()) < 0.25
-        case = jax.random.randint(k_diag, (), 0, len(DIAGONAL_CASES))
-        diag = jnp.asarray(DIAGONAL_CASES, jnp.int32)[case]
+        use_diag = rs.bernoulli(0.25)
+        case = rs.randint(len(DIAGONAL_CASES))
+        diag = onehot_take(jnp.asarray(DIAGONAL_CASES, jnp.int32), case)
         tiles = jnp.where(use_diag, diag, tiles)
 
-    free = jnp.ones((n,), bool).at[tiles].set(False)
+    # Occupancy mask without scatter (TPU: masked compare beats scatter).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    free = ~jnp.any(iota[:, None] == tiles[None, :], axis=1)
     ts = TilingState(
         free=free,
         ship_tile=tiles[0],
@@ -106,11 +112,11 @@ def tiling_reset(geom: TilingGeometry, key: jax.Array, dtype=jnp.float32):
     radii = jnp.asarray(
         [geom.ship_radius] + geom.n_planets * [geom.planets_radius], dtype
     )
-    positions = _disk_sample(geom, ts, k_disk, tiles, radii, dtype)
+    positions = _disk_sample(geom, ts, rs, tiles, radii, dtype)
     return ts, positions[0], positions[1:]
 
 
-def find_new_goal(geom: TilingGeometry, ts: TilingState, key: jax.Array, dtype=jnp.float32):
+def find_new_goal(geom: TilingGeometry, ts: TilingState, rs: RandSource, dtype=jnp.float32):
     """Place a (new) goal; returns (TilingState, goal_pos (2,)).
 
     Reference flow (hexagonal_tiling.py:95-128): on subsequent goals the ship
@@ -118,31 +124,31 @@ def find_new_goal(geom: TilingGeometry, ts: TilingState, key: jax.Array, dtype=j
     ship tile, otherwise it is the taxi-farthest of <= MAX_GOAL_CANDIDATES
     uniformly-drawn free tiles.
     """
-    k_same, k_gumbel, k_disk = jax.random.split(key, 3)
     coords = jnp.asarray(geom.tiles_coord, jnp.int32)
+    iota = jnp.arange(geom.n_tiles, dtype=jnp.int32)
 
     subsequent = ts.goal_tile >= 0
-    free = jnp.where(subsequent, ts.free.at[ts.ship_tile].set(True), ts.free)
+    free = jnp.where(subsequent, ts.free | (iota == ts.ship_tile), ts.free)
     ship_tile = jnp.where(subsequent, ts.goal_tile, ts.ship_tile)
 
-    # Gumbel-top-k = uniform candidate subset of the free tiles, in random
-    # order (so argmax tie-breaking is random, like the reference's scan over
-    # randomly-ordered candidates).
-    gumbel = jax.random.gumbel(k_gumbel, (geom.n_tiles,))
-    masked = jnp.where(free, gumbel, -jnp.inf)
+    # Top-k of iid scores = uniform candidate subset of the free tiles, in
+    # random order (so argmax tie-breaking is random, like the reference's
+    # scan over randomly-ordered candidates).
+    same = rs.bernoulli(0.25)
+    scores = rs.scores(geom.n_tiles)
+    masked = jnp.where(free, scores, -1.0)
     k_cand = min(MAX_GOAL_CANDIDATES, geom.n_tiles)
     top_vals, top_idx = jax.lax.top_k(masked, k_cand)
-    valid = jnp.isfinite(top_vals)  # fewer than k_cand free tiles -> masked out
+    valid = top_vals >= 0  # fewer than k_cand free tiles -> masked out
 
-    ship_rc = coords[ship_tile]
-    cand_rc = coords[top_idx]
+    ship_rc = onehot_take(coords, ship_tile)
+    cand_rc = onehot_take(coords, top_idx)
     taxi = jnp.sum(jnp.abs(cand_rc - ship_rc), axis=-1)
     taxi = jnp.where(valid, taxi, -1)
-    best = top_idx[jnp.argmax(taxi)].astype(jnp.int32)
+    best = onehot_take(top_idx, jnp.argmax(taxi).astype(jnp.int32))
 
-    same = jax.random.uniform(k_same, ()) < 0.25
     goal_tile = jnp.where(same, ship_tile, best)
-    free = jnp.where(same, free, free.at[best].set(False))
+    free = jnp.where(same, free, free & (iota != best))
 
     new_ts = TilingState(
         free=free,
@@ -153,6 +159,6 @@ def find_new_goal(geom: TilingGeometry, ts: TilingState, key: jax.Array, dtype=j
         col_shift=ts.col_shift,
     )
     goal_pos = _disk_sample(
-        geom, new_ts, k_disk, goal_tile, jnp.asarray(geom.goal_radius, dtype), dtype
+        geom, new_ts, rs, goal_tile, jnp.asarray(geom.goal_radius, dtype), dtype
     )
     return new_ts, goal_pos

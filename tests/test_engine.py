@@ -11,6 +11,11 @@ import space_gym_tpu
 from space_gym_tpu.engine import EnvEngine
 from space_gym_tpu.engine.core import DISCRETE_ACTIONS
 from space_gym_tpu.tiling import device as dtiling
+from space_gym_tpu.utils.randvec import RandSource
+
+
+def rand_sources(key, batch, n=512, dtype=jnp.float64):
+    return jax.random.uniform(key, (batch, n), dtype=dtype)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -60,15 +65,20 @@ def test_fixed_event_state_at_event_time():
     """A lane that crashes must come back with the state AT the event time
     (SURVEY.md Q8): the returned position sits on the planet surface."""
     cfg = space_gym_tpu.get_config("DoNotCrashContinuous-v0")
-    eng = EnvEngine(cfg, physics="fixed", dtype=jnp.float64, substeps=2)
     # Aim straight at the planet from close range, fast.
     y0 = jnp.asarray([0.3, 0.0, 0.0, -2.0, 0.0, 0.0], jnp.float64)
     action = jnp.asarray([0.0, 0.0], jnp.float64)
     planets = jnp.asarray(cfg.fixed_planet_pos, jnp.float64)
+    # Default refinement (12 bisections): event position within |v|*h/2^12.
+    eng = EnvEngine(cfg, physics="fixed", dtype=jnp.float64, substeps=2)
     y, term = jax.jit(eng._physics)(y0, action, planets)
     assert bool(term)
-    dist = float(jnp.linalg.norm(y[:2]))
-    assert abs(dist - cfg.dnc.planet_radius) < 1e-6, dist
+    assert abs(float(jnp.linalg.norm(y[:2])) - cfg.dnc.planet_radius) < 2e-5
+    # Deep refinement (20 bisections): sub-1e-6 event placement.
+    eng20 = EnvEngine(cfg, physics="fixed", dtype=jnp.float64, substeps=2, refine_iters=20)
+    y, term = jax.jit(eng20._physics)(y0, action, planets)
+    assert bool(term)
+    assert abs(float(jnp.linalg.norm(y[:2])) - cfg.dnc.planet_radius) < 1e-6
 
 
 def test_fixed_vs_adaptive_termination_agreement():
@@ -112,7 +122,7 @@ def test_auto_reset_and_truncation():
     state, obs = eng.init(jax.random.key(0), 8)
     zeros = jnp.zeros((8, 2))
     for t in range(5):
-        state, ts = eng.step(state, zeros)
+        state, ts = eng.step(state, zeros, jax.random.key(100 + t))
     # Every lane either terminated earlier or truncated at step 5; afterwards
     # steps counters restart from 0.
     assert bool(ts.done.all())  # all lanes done by the 5-step cap
@@ -134,7 +144,7 @@ def test_goal_resample_on_reach():
     y = state.y.at[:, 0:2].set(state.goal_pos).at[:, 3:].set(0.0)
     state = state._replace(y=y)
     old_goals = np.asarray(state.goal_pos)
-    state2, ts = eng.step(state, jnp.zeros((4, 2), jnp.float64))
+    state2, ts = eng.step(state, jnp.zeros((4, 2), jnp.float64), jax.random.key(6))
     reward = np.asarray(ts.reward)
     moved = (np.asarray(state2.goal_pos) != old_goals).any(axis=-1)
     # Ships start stationary on the goal => still within goal radius after one
@@ -149,10 +159,10 @@ def test_device_tiling_geometry():
     least 2*(hex_height/2 - planets_radius) apart tile centres minus noise."""
     cfg = space_gym_tpu.get_config("GoalContinuous3P-v0")
     geom = cfg.tiling
-    keys = jax.random.split(jax.random.key(7), 256)
+    us = rand_sources(jax.random.key(7), 256)
     ts, ship, planets = jax.vmap(
-        lambda k: dtiling.tiling_reset(geom, k, jnp.float64)
-    )(keys)
+        lambda u: dtiling.tiling_reset(geom, RandSource(u), jnp.float64)
+    )(us)
     ship = np.asarray(ship)
     planets = np.asarray(planets)
     half = geom.world_size / 2
@@ -176,17 +186,17 @@ def test_device_goal_candidates_respect_free_tiles():
     cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
     geom = cfg.tiling
 
-    def roll(k):
-        k1, k2, k3 = jax.random.split(k, 3)
-        ts, ship, planets = dtiling.tiling_reset(geom, k1, jnp.float64)
-        ts, g1 = dtiling.find_new_goal(geom, ts, k2, jnp.float64)
+    def roll(u):
+        rs = RandSource(u)
+        ts, ship, planets = dtiling.tiling_reset(geom, rs, jnp.float64)
+        ts, g1 = dtiling.find_new_goal(geom, ts, rs, jnp.float64)
         first_goal_tile = ts.goal_tile
         ship_tile = ts.ship_tile
-        ts, g2 = dtiling.find_new_goal(geom, ts, k3, jnp.float64)
+        ts, g2 = dtiling.find_new_goal(geom, ts, rs, jnp.float64)
         return first_goal_tile, ship_tile, ts.goal_tile, ts.ship_tile
 
-    keys = jax.random.split(jax.random.key(11), 512)
-    g1, s1, g2, s2 = jax.vmap(roll)(keys)
+    us = rand_sources(jax.random.key(11), 512)
+    g1, s1, g2, s2 = jax.vmap(roll)(us)
     g1, s1, g2, s2 = map(np.asarray, (g1, s1, g2, s2))
     assert (g1 >= 0).all() and (g2 >= 0).all()
     # After the second placement the ship sits in the first goal's tile.
@@ -241,7 +251,6 @@ def test_engine_obs_matches_host_adapter(env_id):
         ref_orbit=ref,
         tiling=tiling,
         steps=jnp.asarray(0, jnp.int32),
-        key=jax.random.key(0),
     )
     np.testing.assert_allclose(
         np.asarray(eng._observe(st)), env.observation, rtol=0, atol=1e-12
