@@ -1,0 +1,100 @@
+"""On-device circular replay buffer.
+
+A PyTree of preallocated HBM arrays with a scalar write cursor; inserts and
+uniform sampling are pure jittable functions, so the whole
+rollout -> insert -> sample -> update loop stays on device (SURVEY.md §2:
+"env-state and replay shards along a data axis").  Under a device mesh the
+capacity axis is sharded along "data": every host inserts its own lanes'
+transitions locally and samples locally — no cross-device traffic in the
+replay path; only gradients are all-reduced.
+
+Insertion layout: each `add` writes a whole (B, ...) slab of lanes at row
+`cursor % rows`, i.e. the buffer is a (rows, B, ...) ring over time slices.
+This keeps writes as contiguous dynamic-update-slices (no scatters) and
+matches the lockstep rollout shape.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    reward: jax.Array
+    next_obs: jax.Array  # final_obs of the step (pre-reset; bootstrap target)
+    discount: jax.Array  # 0.0 iff terminated (truncation still bootstraps)
+
+
+class ReplayState(NamedTuple):
+    data: Transition      # each leaf (rows, lanes, ...)
+    cursor: jax.Array     # () int32 — next row to write
+    filled: jax.Array     # () int32 — rows written so far (<= rows)
+
+
+def replay_init(rows: int, lanes: int, obs_dim: int, action_dim: int, dtype=jnp.float32) -> ReplayState:
+    z = lambda *shape: jnp.zeros(shape, dtype)
+    data = Transition(
+        obs=z(rows, lanes, obs_dim),
+        action=z(rows, lanes, action_dim),
+        reward=z(rows, lanes),
+        next_obs=z(rows, lanes, obs_dim),
+        discount=z(rows, lanes),
+    )
+    return ReplayState(
+        data=data, cursor=jnp.asarray(0, jnp.int32), filled=jnp.asarray(0, jnp.int32)
+    )
+
+
+def replay_add(state: ReplayState, tr: Transition) -> ReplayState:
+    """Insert one time-slice of transitions, leaves shaped (lanes, ...)."""
+    rows = state.data.obs.shape[0]
+    row = jnp.mod(state.cursor, rows)
+
+    def put(buf, x):
+        return jax.lax.dynamic_update_slice_in_dim(buf, x[None], row, axis=0)
+
+    data = jax.tree.map(put, state.data, tr)
+    return ReplayState(
+        data=data,
+        cursor=state.cursor + 1,
+        filled=jnp.minimum(state.filled + 1, rows),
+    )
+
+
+def replay_add_slab(state: ReplayState, slab: Transition) -> ReplayState:
+    """Insert T time-slices at once, leaves shaped (T, lanes, ...) — the shape
+    a `rollout` scan produces.
+
+    Requires T | rows (checked): the learner always inserts fixed-T slabs, so
+    the write offset stays T-aligned and the slab never straddles the ring
+    boundary — one contiguous dynamic-update-slice, no O(capacity) shuffling.
+    """
+    rows = state.data.obs.shape[0]
+    t = slab.obs.shape[0]
+    if rows % t != 0:
+        raise ValueError(f"slab length {t} must divide replay rows {rows}")
+    row = jnp.mod(state.cursor, rows)
+
+    def put(buf, x):
+        return jax.lax.dynamic_update_slice_in_dim(buf, x, row, axis=0)
+
+    data = jax.tree.map(put, state.data, slab)
+    return ReplayState(
+        data=data,
+        cursor=state.cursor + t,
+        filled=jnp.minimum(state.filled + t, rows),
+    )
+
+
+def replay_sample(state: ReplayState, key: jax.Array, batch: int) -> Transition:
+    """Uniform sample of `batch` transitions from the filled region."""
+    rows, lanes = state.data.reward.shape
+    k1, k2 = jax.random.split(key)
+    row_idx = jax.random.randint(k1, (batch,), 0, jnp.maximum(state.filled, 1))
+    lane_idx = jax.random.randint(k2, (batch,), 0, lanes)
+    take = lambda buf: buf[row_idx, lane_idx]
+    return jax.tree.map(take, state.data)

@@ -1,0 +1,234 @@
+"""Soft Actor-Critic, fused with the vectorized env engine.
+
+The reference trained its benchmarks with external SB3 SAC (reference
+README.md:36,59: GoalContinuous2P "easily solved" by SAC/TD3 default
+hyperparameters); here the entire loop — rollout over thousands of lanes,
+replay insert, minibatch sampling, gradient updates, target polyak — is one
+jitted device program (`train_iter`), the BASELINE.json configs[4] workload
+("full suite vectorized envs/chip feeding on-device SAC learner").
+
+Sharding contract (see space_gym_tpu.parallel): env state, rollout slabs and
+replay shard along the mesh "data" axis; network/optimizer params are
+replicated; the only cross-device communication is the gradient all-reduce
+XLA inserts when replicated params meet sharded batches.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..engine.core import EnvEngine
+from . import networks
+from .replay import ReplayState, Transition, replay_add_slab, replay_init, replay_sample
+
+
+class SACConfig(NamedTuple):
+    lanes: int = 4096            # parallel env lanes
+    rollout_len: int = 32        # env steps per train_iter
+    replay_rows: int = 2048      # replay capacity = rows * lanes transitions
+    batch_size: int = 4096       # minibatch per gradient update
+    updates_per_iter: int = 4    # gradient updates per train_iter
+    gamma: float = 0.99
+    tau: float = 0.005           # target polyak rate
+    lr: float = 3e-4
+    init_alpha: float = 0.1
+    hidden: tuple = (256, 256)
+    warmup_rows: int = 32        # min filled rows before updates count
+
+
+class SACState(NamedTuple):
+    actor_params: dict
+    critic_params: dict
+    target_critic_params: dict
+    log_alpha: jax.Array
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    alpha_opt: optax.OptState
+    env_state: object           # engine EnvState (batched)
+    obs: jax.Array              # (lanes, obs_dim)
+    replay: ReplayState
+    step: jax.Array             # () int32 train_iter counter
+
+
+class SACTrainer:
+    """SAC over one EnvEngine.  All public methods are jitted.
+
+    >>> tr = SACTrainer(EnvEngine(get_config("GoalContinuous2P-v0")))
+    >>> st = tr.init(jax.random.key(0))
+    >>> st, metrics = tr.train_iter(st, jax.random.key(1))
+    """
+
+    def __init__(self, engine: EnvEngine, config: SACConfig = SACConfig()):
+        if not engine.config.continuous:
+            raise ValueError("SAC requires a continuous-action env config")
+        self.engine = engine
+        self.cfg = config
+        self.obs_dim = engine.config.obs_dim
+        self.action_dim = engine.config.action_dim
+        self.actor = networks.TanhGaussianActor(self.action_dim, config.hidden)
+        self.critic = networks.DoubleCritic(config.hidden)
+        self.target_entropy = -float(self.action_dim)
+        self.opt = optax.adam(config.lr)
+
+        self.init = jax.jit(self._init)
+        self.train_iter = jax.jit(self._train_iter)
+        self.act = jax.jit(self._act)
+        self.eval_act = jax.jit(self._eval_act)
+
+    # ----------------------------------------------------------------- init --
+    def _init(self, key: jax.Array) -> SACState:
+        c = self.cfg
+        k_actor, k_critic, k_env = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((1, self.obs_dim), self.engine.dtype)
+        dummy_act = jnp.zeros((1, self.action_dim), self.engine.dtype)
+        actor_params = self.actor.init(k_actor, dummy_obs)
+        critic_params = self.critic.init(k_critic, dummy_obs, dummy_act)
+        log_alpha = jnp.asarray(jnp.log(c.init_alpha), jnp.float32)
+        env_state, obs = self.engine._reset_batched(k_env, c.lanes)
+        return SACState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=critic_params,
+            log_alpha=log_alpha,
+            actor_opt=self.opt.init(actor_params),
+            critic_opt=self.opt.init(critic_params),
+            alpha_opt=self.opt.init(log_alpha),
+            env_state=env_state,
+            obs=obs,
+            replay=replay_init(
+                c.replay_rows, c.lanes, self.obs_dim, self.action_dim, self.engine.dtype
+            ),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    # -------------------------------------------------------------- acting --
+    def _act(self, actor_params, obs, key):
+        mean, log_std = self.actor.apply(actor_params, obs)
+        action, _ = networks.sample_tanh_gaussian(key, mean, log_std)
+        return action
+
+    def _eval_act(self, actor_params, obs):
+        mean, _ = self.actor.apply(actor_params, obs)
+        return jnp.tanh(mean)
+
+    # ------------------------------------------------------------- training --
+    def _rollout(self, state: SACState, key: jax.Array):
+        """Collect cfg.rollout_len steps with the stochastic policy."""
+
+        def body(carry, _):
+            env_state, obs, k = carry
+            k, k_act, k_step = jax.random.split(k, 3)
+            action = self._act(state.actor_params, obs, k_act)
+            env_state, ts = self.engine._step_batched(env_state, action, k_step)
+            tr = Transition(
+                obs=obs,
+                action=action,
+                reward=ts.reward,
+                next_obs=ts.final_obs,
+                discount=1.0 - ts.terminated.astype(ts.reward.dtype),
+            )
+            return (env_state, ts.obs, k), (tr, ts.reward, ts.done)
+
+        (env_state, obs, _), (slab, rewards, dones) = jax.lax.scan(
+            body, (state.env_state, state.obs, key), None, length=self.cfg.rollout_len
+        )
+        return env_state, obs, slab, rewards, dones
+
+    def _critic_loss(self, critic_params, state: SACState, batch: Transition, key):
+        c = self.cfg
+        alpha = jnp.exp(state.log_alpha)
+        mean, log_std = self.actor.apply(state.actor_params, batch.next_obs)
+        next_a, next_logp = networks.sample_tanh_gaussian(key, mean, log_std)
+        q1t, q2t = self.critic.apply(state.target_critic_params, batch.next_obs, next_a)
+        target_v = jnp.minimum(q1t, q2t) - alpha * next_logp
+        target_q = batch.reward + c.gamma * batch.discount * target_v
+        target_q = jax.lax.stop_gradient(target_q)
+        q1, q2 = self.critic.apply(critic_params, batch.obs, batch.action)
+        return ((q1 - target_q) ** 2 + (q2 - target_q) ** 2).mean()
+
+    def _actor_loss(self, actor_params, state: SACState, critic_params, batch, key):
+        alpha = jnp.exp(state.log_alpha)
+        mean, log_std = self.actor.apply(actor_params, batch.obs)
+        a, logp = networks.sample_tanh_gaussian(key, mean, log_std)
+        q1, q2 = self.critic.apply(critic_params, batch.obs, a)
+        return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
+
+    def _update_once(self, state: SACState, key: jax.Array):
+        c = self.cfg
+        k_samp, k_crit, k_act = jax.random.split(key, 3)
+        batch = replay_sample(state.replay, k_samp, c.batch_size)
+
+        critic_loss, critic_grads = jax.value_and_grad(self._critic_loss)(
+            state.critic_params, state, batch, k_crit
+        )
+        upd, critic_opt = self.opt.update(critic_grads, state.critic_opt)
+        critic_params = optax.apply_updates(state.critic_params, upd)
+
+        (actor_loss, logp), actor_grads = jax.value_and_grad(
+            self._actor_loss, has_aux=True
+        )(state.actor_params, state, critic_params, batch, k_act)
+        upd, actor_opt = self.opt.update(actor_grads, state.actor_opt)
+        actor_params = optax.apply_updates(state.actor_params, upd)
+
+        # Temperature toward target entropy.
+        alpha_grad = jax.grad(
+            lambda la: (-la * jax.lax.stop_gradient(logp + self.target_entropy)).mean()
+        )(state.log_alpha)
+        upd, alpha_opt = self.opt.update(alpha_grad, state.alpha_opt)
+        log_alpha = optax.apply_updates(state.log_alpha, upd)
+
+        target = jax.tree.map(
+            lambda t, p: t * (1 - c.tau) + p * c.tau,
+            state.target_critic_params,
+            critic_params,
+        )
+        state = state._replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=target,
+            log_alpha=log_alpha,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            alpha_opt=alpha_opt,
+        )
+        return state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
+
+    def _train_iter(self, state: SACState, key: jax.Array):
+        c = self.cfg
+        k_roll, k_upd = jax.random.split(key)
+        env_state, obs, slab, rewards, dones = self._rollout(state, k_roll)
+        replay = replay_add_slab(state.replay, slab)
+        state = state._replace(env_state=env_state, obs=obs, replay=replay)
+
+        metrics = {}
+        # Static unroll; gate updates on warmup so early iters are no-ops for
+        # the parameters but keep a single compiled program.
+        ready = replay.filled >= jnp.minimum(c.warmup_rows, c.replay_rows)
+        learner_fields = (
+            "actor_params", "critic_params", "target_critic_params",
+            "log_alpha", "actor_opt", "critic_opt", "alpha_opt",
+        )
+        for i in range(c.updates_per_iter):
+            k_upd, k_i = jax.random.split(k_upd)
+            new_state, m = self._update_once(state, k_i)
+            # Select only learner leaves (masking the env/replay leaves would
+            # re-materialize the whole buffer per update).
+            state = state._replace(**{
+                f: jax.tree.map(
+                    lambda n, o: jnp.where(ready, n, o),
+                    getattr(new_state, f),
+                    getattr(state, f),
+                )
+                for f in learner_fields
+            })
+            metrics = m
+        metrics = dict(
+            metrics,
+            mean_reward=rewards.mean(),
+            episodes_done=dones.sum(),
+            alpha=jnp.exp(state.log_alpha),
+        )
+        return state._replace(step=state.step + 1), metrics
