@@ -43,10 +43,17 @@ class SpaceGymEnv:
         "video.frames_per_second": 30,
     }
 
-    def __init__(self, config: EnvConfig, physics: str = "jax", time_limit: bool = True):
+    def __init__(
+        self,
+        config: EnvConfig,
+        physics: str = "jax",
+        time_limit: bool = True,
+        renderer_kwargs: dict | None = None,
+    ):
         self.config = config
         self._physics_mode = physics
         self._time_limit = time_limit
+        self._renderer_kwargs = renderer_kwargs or {}
         low, high = config.observation_bounds()
         # Base env obs space is float32 (spaceship_env.py:110); Kepler builds
         # its own Box from a default-dtype array (quirk Q7) — shape-compatible.
@@ -112,6 +119,7 @@ class SpaceGymEnv:
         self.last_xy = None
         self._make_observation()
         if self._renderer is not None:
+            self._renderer.update_planets(self.planets_pos)
             self._renderer.reset(self.goal_pos)
         return self.observation
 
@@ -344,6 +352,7 @@ class SpaceGymEnv:
                 world_size=self.config.world_size,
                 goal_pos=self.goal_pos,
                 debug_mode=self.config.task == TASK_GOAL,
+                **self._renderer_kwargs,
             )
         return self._renderer.render(
             self._state_vec[:3], self.last_action, self.goal_lidar, self.planets_lidars, mode

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""On-device training CLI: SAC/TD3 on any registered env, with checkpointing,
+deterministic eval, and a steps/sec meter.
+
+The reference shipped no trainer (users ran external SB3/rl-zoo, reference
+README.md:57-59); this CLI is the built-in replacement covering the
+BASELINE.json configs[4] workload.
+
+Examples:
+  python tools/train.py --env GoalContinuous2P-v0 --algo sac --iters 500
+  python tools/train.py --env KeplerCircleOrbit-v0 --algo td3 --lanes 8192
+  python tools/train.py ... --ckpt /tmp/run1 --resume
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_eval(trainer, n_steps: int, lanes: int = 256):
+    """Deterministic-policy eval over fresh lanes: summed completed-episode
+    returns + episode count, fully on device."""
+    import jax
+    import jax.numpy as jnp
+
+    eng = trainer.engine
+
+    def run(params, key):
+        k_reset, k0 = jax.random.split(key)
+        state, obs = eng._reset_batched(k_reset, lanes)
+
+        def body(carry, _):
+            st, ob, k, run_ret, done_sum, done_n = carry
+            k, k_step = jax.random.split(k)
+            action = trainer.eval_act(params, ob)
+            st, ts = eng._step_batched(st, action, k_step)
+            run_ret = run_ret + ts.reward
+            done_sum = done_sum + jnp.sum(jnp.where(ts.done, run_ret, 0.0))
+            done_n = done_n + jnp.sum(ts.done)
+            run_ret = jnp.where(ts.done, 0.0, run_ret)
+            return (st, ts.obs, k, run_ret, done_sum, done_n), None
+
+        init = (
+            state, obs, k0,
+            jnp.zeros((lanes,), eng.dtype), jnp.asarray(0.0), jnp.asarray(0.0),
+        )
+        (_, _, _, _, done_sum, done_n), _ = jax.lax.scan(body, init, None, length=n_steps)
+        return done_sum, done_n
+
+    return jax.jit(run)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="GoalContinuous2P-v0")
+    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--lanes", type=int, default=4096)
+    ap.add_argument("--rollout-len", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--updates-per-iter", type=int, default=4)
+    ap.add_argument("--replay-rows", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--eval-steps", type=int, default=600)
+    ap.add_argument("--ckpt", default=None, help="checkpoint directory")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log-every", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    import space_gym_tpu
+    from space_gym_tpu.engine import EnvEngine
+    from space_gym_tpu.models import SACConfig, SACTrainer, TD3Config, TD3Trainer
+    from space_gym_tpu.utils import checkpoint as ckpt
+    from space_gym_tpu.utils.profiling import ThroughputMeter
+
+    eng = EnvEngine(space_gym_tpu.get_config(args.env))
+    kw = dict(
+        lanes=args.lanes,
+        rollout_len=args.rollout_len,
+        replay_rows=args.replay_rows,
+        batch_size=args.batch_size,
+        updates_per_iter=args.updates_per_iter,
+        lr=args.lr,
+    )
+    if args.algo == "sac":
+        trainer = SACTrainer(eng, SACConfig(**kw))
+    else:
+        trainer = TD3Trainer(eng, TD3Config(**kw))
+
+    state = trainer.init(jax.random.key(args.seed))
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        state = ckpt.restore(args.ckpt, state)
+        print(f"resumed from {args.ckpt} at step {int(np.asarray(state.step))}")
+
+    meter = ThroughputMeter()
+    steps_per_iter = args.lanes * args.rollout_len
+    key = jax.random.key(args.seed + 1)
+    eval_run = None
+    for i in range(args.iters):
+        key, k_iter = jax.random.split(key)
+        state, metrics = trainer.train_iter(state, k_iter)
+        reward = float(np.asarray(metrics["mean_reward"]))  # sync point
+        meter.tick(steps_per_iter)
+        if i % args.log_every == 0:
+            m = {k: round(float(np.asarray(v)), 4) for k, v in metrics.items()}
+            print(
+                json.dumps(
+                    dict(iter=i, env_steps=(i + 1) * steps_per_iter,
+                         steps_per_s=round(meter.rate, 0) if meter.rate == meter.rate else None,
+                         **m)
+                ),
+                flush=True,
+            )
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            if eval_run is None:
+                eval_run = make_eval(trainer, args.eval_steps)
+            key, k_ev = jax.random.split(key)
+            ret_sum, ret_n = eval_run(state.actor_params, k_ev)
+            ret_sum, ret_n = float(np.asarray(ret_sum)), float(np.asarray(ret_n))
+            mean_ret = ret_sum / max(ret_n, 1.0)
+            print(json.dumps(dict(iter=i, eval_mean_return=round(mean_ret, 2),
+                                  eval_episodes=int(ret_n))), flush=True)
+            if args.ckpt:
+                ckpt.save(args.ckpt, state)
+                print(json.dumps(dict(iter=i, checkpoint=args.ckpt)), flush=True)
+
+    if args.ckpt:
+        ckpt.save(args.ckpt, state)
+        print(json.dumps(dict(checkpoint=args.ckpt, final=True)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
