@@ -7,8 +7,9 @@ RNG streams) runs on the host in f64 numpy with the reference's exact
 operation and RNG-call order, so given the same seed the adapter reproduces
 the reference bitwise wherever the integrator does.  The physics step runs
 either on-device (jitted space_gym_tpu.ops.rk45, 1-2 ulp from scipy) or on the
-host (space_gym_tpu.parity.host_rk45, bit-identical to scipy) — choose with
-`physics="jax" | "host"`.
+host (space_gym_tpu.parity.host_rk45, bit-identical to scipy), or through the
+native C++ runtime (space_gym_tpu/parity/native, same algorithms at C speed) —
+choose with `physics="jax" | "host" | "native"`.
 
 For vectorized training rollouts use space_gym_tpu.engine instead; this class
 exists for parity validation, SB3-style single-env use, and the keyboard
@@ -92,8 +93,17 @@ class SpaceGymEnv:
 
         if physics == "jax":
             self._jax_step = _build_jax_step(config)
+        elif physics == "native":
+            from ..parity import native as _native
+
+            if not _native.is_available():
+                raise RuntimeError(
+                    f"native solver unavailable: {_native.build_error()}"
+                )
         elif physics != "host":
-            raise ValueError(f"physics must be 'jax' or 'host', got {physics!r}")
+            raise ValueError(
+                f"physics must be 'jax', 'host' or 'native', got {physics!r}"
+            )
 
     # ------------------------------------------------------------- seeding --
     def seed(self, seed=None):
@@ -196,6 +206,13 @@ class SpaceGymEnv:
             y, done = self._jax_step(self._state_vec, action.astype(np.float64), self.planets_pos)
             self._state_vec = np.array(y)  # writable host copy
             done = bool(done)
+        elif self._physics_mode == "native":
+            from ..parity import native as _native
+
+            y, done = _native.solve_step_native(
+                self.config, self._state_vec, action, self.planets_pos
+            )
+            self._state_vec = y
         else:
             y, done = _host_physics_step(self.config, self._state_vec, action, self.planets_pos)
             self._state_vec = y
