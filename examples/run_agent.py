@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Replay a trained policy in a single env with rendering — the TPU build's
+equivalent of the reference's notebooks/run_agent.ipynb (which loads a
+spinningup PyTorch policy and replays it).
+
+Loads a tools/train.py orbax checkpoint, runs N episodes through the old-Gym
+adapter with the deterministic policy, renders frames, and writes a GIF per
+episode (or shows a live window with --display).
+
+  python examples/run_agent.py --ckpt /tmp/sac_goal2p --env GoalContinuous2P-v0 \
+      --episodes 2 --out /tmp/replays
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--env", default="GoalContinuous2P-v0")
+    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
+    ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="/tmp/spacegym_replays")
+    ap.add_argument("--display", action="store_true", help="live window instead of GIFs")
+    ap.add_argument("--every", type=int, default=2, help="render every k-th step")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    import space_gym_tpu
+    from space_gym_tpu.engine import EnvEngine
+    from space_gym_tpu.models import SACConfig, SACTrainer, TD3Config, TD3Trainer
+    from space_gym_tpu.utils import checkpoint as ckpt
+
+    eng = EnvEngine(space_gym_tpu.get_config(args.env))
+    # Tiny trainer shell just to materialize the parameter template.
+    kw = dict(lanes=16, rollout_len=4, replay_rows=8, batch_size=32, updates_per_iter=1)
+    trainer = (SACTrainer(eng, SACConfig(**kw)) if args.algo == "sac"
+               else TD3Trainer(eng, TD3Config(**kw)))
+    template = trainer.init(jax.random.key(0))
+    try:
+        state = ckpt.restore(args.ckpt, template)
+    except Exception:
+        # Checkpoints written with different lanes/replay shapes: restore only
+        # the actor parameters (everything the replay needs).
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as c:
+            raw = c.restore(os.path.abspath(args.ckpt), None)
+        state = template._replace(actor_params=jax.tree.map(
+            lambda x: x, raw["actor_params"]))
+    params = state.actor_params
+
+    env = space_gym_tpu.make(args.env)
+    env.seed(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    returns = []
+    for ep in range(args.episodes):
+        obs = env.reset()
+        frames = []
+        total, done, t = 0.0, False, 0
+        while not done:
+            a = np.asarray(trainer.eval_act(params, obs[None]))[0]
+            obs, r, done, _ = env.step(a.astype(np.float32))
+            total += r
+            if args.display:
+                env.render()
+            elif t % args.every == 0:
+                frames.append(env.render(mode="rgb_array"))
+            t += 1
+        returns.append(total)
+        print(f"episode {ep}: return {total:.1f} steps {t}")
+        if frames:
+            from PIL import Image
+
+            path = os.path.join(args.out, f"{args.env}_ep{ep}.gif")
+            imgs = [Image.fromarray(f) for f in frames]
+            imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                         duration=50, loop=0)
+            print(f"  wrote {path} ({len(frames)} frames)")
+    print(f"mean return: {np.mean(returns):.1f} +- {np.std(returns):.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,3 +10,16 @@ Public surface:
 from .registry import env_ids, get_config, make, register  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports that pull in jax only on use."""
+    if name == "EnvEngine":
+        from .engine import EnvEngine
+
+        return EnvEngine
+    if name == "VectorEnv":
+        from .compat.vector_env import VectorEnv
+
+        return VectorEnv
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -460,6 +460,13 @@ def _build_jax_step(config: EnvConfig):
 
         y0 = field.apply_steering_override(ship, y0, action, f32_action=f32_action)
         out = rk45.solve_step(rhs, lambda y: event_fn(planets_pos, y), y0, config.step_size)
-        return out.y, out.terminated
+        return out.y, out.terminated, out.failed
 
-    return step
+    def checked(y0, action, planets_pos):
+        y, terminated, failed = step(y0, action, planets_pos)
+        # Host-side twin of the reference's `assert ode_solution.success`
+        # (dynamic_model.py:120): step-size underflow is a hard error.
+        assert not bool(failed), "ODE solver step-size underflow"
+        return y, terminated
+
+    return checked
