@@ -8,6 +8,8 @@ import pytest
 import space_gym_tpu
 from space_gym_tpu.engine import EnvEngine
 from space_gym_tpu.models import (
+    DQNConfig,
+    DQNTrainer,
     SACConfig,
     SACTrainer,
     TD3Config,
@@ -53,27 +55,35 @@ def test_replay_rejects_misaligned_slab():
         replay_add_slab(rs, make_slab(3, 2, 3, 2, base=0))
 
 
-@pytest.mark.parametrize("algo", ["sac", "td3"])
+@pytest.mark.parametrize("algo", ["sac", "td3", "dqn"])
 def test_trainer_smoke(algo):
-    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
     kw = dict(lanes=32, rollout_len=4, replay_rows=16, batch_size=64,
               updates_per_iter=2, warmup_rows=4)
-    if algo == "sac":
-        tr = SACTrainer(eng, SACConfig(**kw))
+    if algo == "dqn":
+        eng = EnvEngine(space_gym_tpu.get_config("DoNotCrashDiscrete-v0"))
+        tr = DQNTrainer(eng, DQNConfig(**kw))
+        get_params = lambda st: st.params
     else:
-        tr = TD3Trainer(eng, TD3Config(**kw))
+        eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+        tr = (SACTrainer(eng, SACConfig(**kw)) if algo == "sac"
+              else TD3Trainer(eng, TD3Config(**kw)))
+        get_params = lambda st: st.actor_params
     st = tr.init(jax.random.key(0))
-    params0 = jax.tree.leaves(st.actor_params)[0].copy()
+    params0 = jax.tree.leaves(get_params(st))[0].copy()
+    loss_key = "loss" if algo == "dqn" else "critic_loss"
     for i in range(4):
         st, m = tr.train_iter(st, jax.random.key(i + 1))
-    assert np.isfinite(float(m["critic_loss"]))
+    assert np.isfinite(float(m[loss_key]))
     assert np.isfinite(float(m["mean_reward"]))
     # After warmup the parameters must actually move.
-    params1 = jax.tree.leaves(st.actor_params)[0]
+    params1 = jax.tree.leaves(get_params(st))[0]
     assert not np.allclose(np.asarray(params0), np.asarray(params1))
-    # Deterministic eval action in bounds.
-    a = tr.eval_act(st.actor_params, st.obs)
-    assert np.all(np.abs(np.asarray(a)) <= 1.0)
+    # Deterministic eval action valid.
+    a = np.asarray(tr.eval_act(get_params(st), st.obs))
+    if algo == "dqn":
+        assert a.dtype.kind == "i" and a.min() >= 0 and a.max() < 6
+    else:
+        assert np.all(np.abs(a) <= 1.0)
 
 
 @pytest.mark.parametrize("model_parallel", [1, 2])

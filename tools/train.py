@@ -58,7 +58,7 @@ def make_eval(trainer, n_steps: int, lanes: int = 256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="GoalContinuous2P-v0")
-    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
+    ap.add_argument("--algo", choices=["sac", "td3", "dqn"], default="sac")
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--lanes", type=int, default=4096)
     ap.add_argument("--rollout-len", type=int, default=32)
@@ -79,7 +79,9 @@ def main():
 
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
-    from space_gym_tpu.models import SACConfig, SACTrainer, TD3Config, TD3Trainer
+    from space_gym_tpu.models import (
+        DQNConfig, DQNTrainer, SACConfig, SACTrainer, TD3Config, TD3Trainer,
+    )
     from space_gym_tpu.utils import checkpoint as ckpt
     from space_gym_tpu.utils.profiling import ThroughputMeter
 
@@ -94,8 +96,10 @@ def main():
     )
     if args.algo == "sac":
         trainer = SACTrainer(eng, SACConfig(**kw))
-    else:
+    elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(**kw))
+    else:
+        trainer = DQNTrainer(eng, DQNConfig(**kw))
 
     state = trainer.init(jax.random.key(args.seed))
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
@@ -105,6 +109,10 @@ def main():
     meter = ThroughputMeter()
     steps_per_iter = args.lanes * args.rollout_len
     key = jax.random.key(args.seed + 1)
+    if args.algo == "dqn":
+        eval_params = lambda st: st.params
+    else:
+        eval_params = lambda st: st.actor_params
     eval_run = None
     for i in range(args.iters):
         key, k_iter = jax.random.split(key)
@@ -125,7 +133,7 @@ def main():
             if eval_run is None:
                 eval_run = make_eval(trainer, args.eval_steps)
             key, k_ev = jax.random.split(key)
-            ret_sum, ret_n = eval_run(state.actor_params, k_ev)
+            ret_sum, ret_n = eval_run(eval_params(state), k_ev)
             ret_sum, ret_n = float(np.asarray(ret_sum)), float(np.asarray(ret_n))
             mean_ret = ret_sum / max(ret_n, 1.0)
             print(json.dumps(dict(iter=i, eval_mean_return=round(mean_ret, 2),
