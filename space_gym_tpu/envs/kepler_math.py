@@ -98,3 +98,28 @@ def dense_reward(
         + act_penalty_C * act_penalty
         + C
     )
+
+
+def specific_energy(xp, alpha_gm, pos_xy, vel_xy):
+    """Specific orbital energy v^2/2 - GM/r — the reference's unused _H helper
+    (kepler.py:20-29) promoted to a real analysis/testing utility: conserved
+    along thrust-free trajectories, so it doubles as an integrator invariant."""
+    r = xp.linalg.norm(pos_xy, axis=-1)
+    v2 = xp.sum(vel_xy * vel_xy, axis=-1)
+    return v2 / 2 - alpha_gm / r
+
+
+def angular_momentum(xp, pos_xy, vel_xy):
+    """Specific angular momentum x*vy - y*vx (z component); conserved in any
+    central-force field."""
+    return pos_xy[..., 0] * vel_xy[..., 1] - pos_xy[..., 1] * vel_xy[..., 0]
+
+
+def lrl_vector(xp, alpha_gm, pos_xy, vel_xy):
+    """Laplace-Runge-Lenz vector A = v x L - GM * r_hat — the reference's
+    unused _A helper (kepler.py:31-41); conserved on Kepler orbits and points
+    along the major axis."""
+    L = angular_momentum(xp, pos_xy, vel_xy)
+    r = xp.linalg.norm(pos_xy, axis=-1, keepdims=True)
+    vxL = xp.stack([vel_xy[..., 1] * L, -vel_xy[..., 0] * L], axis=-1)
+    return vxL - alpha_gm * pos_xy / r
