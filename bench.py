@@ -59,7 +59,7 @@ def build(batch: int, steps: int, substeps: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
