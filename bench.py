@@ -36,7 +36,9 @@ def build(batch: int, steps: int, substeps: int):
 
     eng = EnvEngine(
         space_gym_tpu.get_config(ENV_ID),
-        physics="fixed",
+        # The fused component-major Pallas kernel is the production physics
+        # path on TPU; tests pin it against the XLA "fixed" path.
+        physics="pallas" if jax.default_backend() == "tpu" else "fixed",
         dtype=jnp.float32,
         substeps=substeps,
     )

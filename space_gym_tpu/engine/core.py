@@ -98,8 +98,10 @@ class EnvEngine:
         auto_reset: bool = True,
         f32_actions: bool = False,
     ):
-        if physics not in ("fixed", "adaptive"):
-            raise ValueError(f"physics must be 'fixed' or 'adaptive', got {physics!r}")
+        if physics not in ("fixed", "adaptive", "pallas"):
+            raise ValueError(
+                f"physics must be 'fixed', 'adaptive' or 'pallas', got {physics!r}"
+            )
         self.config = config
         self.physics = physics
         self.dtype = dtype
@@ -180,6 +182,26 @@ class EnvEngine:
     def _step_batched(self, state: EnvState, raw_action, key: jax.Array):
         batch = state.y.shape[0]
         u = jax.random.uniform(key, (batch, self.n_step_rand), dtype=self.dtype)
+
+        if self.physics == "pallas":
+            # The fused kernel is inherently batched (component-major layout);
+            # hoist it out of the per-lane vmap and pass results through.
+            from ..ops.pallas_step import fused_step_for_config
+
+            block = 1024 if batch % 1024 == 0 else (512 if batch % 512 == 0 else batch)
+            fused = fused_step_for_config(
+                self.config, self.substeps, self.refine_iters, block,
+                jax.default_backend() != "tpu",
+            )
+            action_b = jax.vmap(self._translate_action)(raw_action)
+            y_b, term_b = fused(state.y, action_b, state.planets_pos)
+
+            def lane_p(st, a, u_lane, y_phys, term_phys):
+                return self._step_lane(
+                    st, a, RandSource(u_lane), phys=(y_phys, term_phys)
+                )
+
+            return jax.vmap(lane_p)(state, raw_action, u, y_b, term_b)
 
         def lane(st, a, u_lane):
             return self._step_lane(st, a, RandSource(u_lane))
@@ -335,12 +357,15 @@ class EnvEngine:
         y = field.wrap_ship_angle(out.y)
         return y, out.terminated
 
-    def _step_lane(self, state: EnvState, raw_action, rs: RandSource):
+    def _step_lane(self, state: EnvState, raw_action, rs: RandSource, phys=None):
         cfg = self.config
         action = self._translate_action(raw_action)
         last_xy = state.y[0:2]
 
-        y, terminated = self._physics(state.y, action, state.planets_pos)
+        if phys is None:
+            y, terminated = self._physics(state.y, action, state.planets_pos)
+        else:
+            y, terminated = phys
         steps = state.steps + 1
         truncated = jnp.asarray(steps >= cfg.max_episode_steps) & ~terminated
         done = terminated | truncated
