@@ -22,4 +22,12 @@ def __getattr__(name):
         from .compat.vector_env import VectorEnv
 
         return VectorEnv
+    if name == "Planet":
+        from .envs.config import Planet
+
+        return Planet
+    if name == "ShipParams":
+        from .ops.field import ShipParams
+
+        return ShipParams
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

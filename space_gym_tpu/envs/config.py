@@ -15,6 +15,19 @@ from ..ops.field import STEERING_ACCELERATION, STEERING_VELOCITY, ShipParams
 from ..tiling.geometry import TilingGeometry, make_tiling
 
 TASK_DO_NOT_CRASH = "do_not_crash"
+
+
+@dataclass(frozen=True)
+class Planet:
+    """Migration-ergonomics twin of the reference's Planet dataclass
+    (gym_space/planet.py:8-12).  The engine itself keeps planets as
+    structure-of-arrays (masses/radii tuples + a positions array) because
+    SoA vectorizes on TPU; this class is the AoS view for user code."""
+
+    mass: float
+    radius: float
+    center_pos: tuple = (0.0, 0.0)
+
 TASK_GOAL = "goal"
 TASK_KEPLER = "kepler"
 

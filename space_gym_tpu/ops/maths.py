@@ -24,6 +24,15 @@ def vector_to_angle(vector: jax.Array) -> jax.Array:
     return jnp.arctan2(vector[..., 1], vector[..., 0])
 
 
+def orthogonal_proj(of_vector: jax.Array, onto_vector: jax.Array) -> jax.Array:
+    """Projection of `of_vector` onto `onto_vector` (helpers.py:12-16; unused
+    by the reference envs but part of its public helper surface)."""
+    scale = jnp.sum(of_vector * onto_vector, axis=-1, keepdims=True) / jnp.sum(
+        onto_vector * onto_vector, axis=-1, keepdims=True
+    )
+    return scale * onto_vector
+
+
 def gravity_force(
     from_pos: jax.Array,
     toward_pos: jax.Array,
