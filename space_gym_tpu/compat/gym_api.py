@@ -439,7 +439,6 @@ def _host_physics_step(config: EnvConfig, state_vec, action, planets_pos):
 def _build_jax_step(config: EnvConfig):
     """Jitted device physics step (f64): one control interval with events."""
     import jax
-    import jax.numpy as jnp
 
     from ..ops import events as ev_mod
     from ..ops import field, rk45

@@ -10,8 +10,6 @@ on-device lanes without touching JAX.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..envs.config import EnvConfig

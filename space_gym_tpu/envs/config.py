@@ -8,7 +8,7 @@ lives in the dynamic EnvState.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Optional
 
 from ..ops.field import STEERING_ACCELERATION, STEERING_VELOCITY, ShipParams

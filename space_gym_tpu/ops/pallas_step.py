@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .constants import G
 from .field import STEERING_ACCELERATION, STEERING_VELOCITY, VELOCITY_STEERING_SCALE, ShipParams
-from .rk45 import DP_A, DP_B, DP_C, DP_E, DP_P, N_STAGES
+from .rk45 import DP_A, DP_B, DP_P, N_STAGES
 
 
 def _wsum(vecs, coeffs):

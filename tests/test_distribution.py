@@ -9,7 +9,6 @@ probability negligible while still catching any systematic distortion
 (wrong scale, missing branch, biased tile choice).
 """
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 from scipy.stats import ks_2samp

@@ -25,7 +25,6 @@ import space_gym_tpu
 
 def rollout_human(env, episodes: int, fps: float):
     import matplotlib
-    import matplotlib.pyplot as plt
 
     if matplotlib.get_backend().lower() == "agg":
         raise SystemExit(
