@@ -20,22 +20,19 @@ from __future__ import annotations
 import numpy as np
 
 from ..envs import kepler_math
-from ..envs.config import TASK_DO_NOT_CRASH, TASK_GOAL, TASK_KEPLER, EnvConfig
+from ..envs.config import (
+    DISCRETE_ACTIONS,
+    TASK_DO_NOT_CRASH,
+    TASK_GOAL,
+    TASK_KEPLER,
+    EnvConfig,
+)
 from ..ops.constants import G
 from ..tiling.host import HostTiling
 from ..utils import seeding
 from . import spaces
 
-# Discrete action table (spaceship_env.py:189-202): action id ->
-# (engine in {0,1}, thruster in {-1,0,1}).
-DISCRETE_ACTIONS = (
-    (0.0, 0.0),
-    (1.0, 0.0),
-    (0.0, -1.0),
-    (0.0, 1.0),
-    (1.0, -1.0),  # (raw - 4.5) * 2 for raw=4
-    (1.0, 1.0),  # (raw - 4.5) * 2 for raw=5
-)
+
 
 
 class SpaceGymEnv:

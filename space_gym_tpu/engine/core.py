@@ -37,23 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from ..envs import kepler_math
-from ..envs.config import TASK_GOAL, TASK_KEPLER, EnvConfig
+from ..envs.config import DISCRETE_ACTIONS, TASK_GOAL, TASK_KEPLER, EnvConfig
 from ..ops import events as events_mod
 from ..ops import field, fixed_rk, rk45
 from ..ops.maths import onehot_take
 from ..ops.constants import G
 from ..tiling import device as dtiling
-from ..utils.randvec import RandSource
-
-# Discrete action table (spaceship_env.py:189-202).
-DISCRETE_ACTIONS = (
-    (0.0, 0.0),
-    (1.0, 0.0),
-    (0.0, -1.0),
-    (0.0, 1.0),
-    (1.0, -1.0),
-    (1.0, 1.0),
-)
+from ..utils.randvec import RandSource, count_consumed
 
 _PROBE = 4096  # RandSource size used for consumption counting
 
@@ -210,17 +200,7 @@ class EnvEngine:
 
     # ------------------------------------------------------ budget counting --
     def _count_reset(self) -> int:
-        consumed = 0
-
-        def probe(u):
-            nonlocal consumed
-            rs = RandSource(u)
-            self._reset_lane(rs)
-            consumed = rs.i
-            return jnp.zeros(())
-
-        jax.eval_shape(probe, jax.ShapeDtypeStruct((_PROBE,), self.dtype))
-        return consumed
+        return count_consumed(self._reset_lane, _PROBE, self.dtype)
 
     def _count_step(self) -> int:
         state_sds = jax.eval_shape(
@@ -231,19 +211,12 @@ class EnvEngine:
             act_sds = jax.ShapeDtypeStruct((2,), self.dtype)
         else:
             act_sds = jax.ShapeDtypeStruct((), jnp.int32)
-        consumed = 0
-
-        def probe(state, a, u):
-            nonlocal consumed
-            rs = RandSource(u)
-            self._step_lane(state, a, rs)
-            consumed = rs.i
-            return jnp.zeros(())
-
-        jax.eval_shape(
-            probe, state_sds, act_sds, jax.ShapeDtypeStruct((_PROBE,), self.dtype)
+        return count_consumed(
+            lambda rs, st, a: self._step_lane(st, a, rs),
+            _PROBE,
+            self.dtype,
+            example_args=(state_sds, act_sds),
         )
-        return consumed
 
     # ------------------------------------------------------------ internals --
     def _reset_lane(self, rs: RandSource) -> EnvState:
@@ -354,6 +327,13 @@ class EnvEngine:
             )
         else:
             out = rk45.solve_step(rhs, ev, y0, cfg.step_size)
+            # The reference hard-fails on solver failure (`assert
+            # ode_solution.success`, dynamic_model.py:120); per-lane asserts
+            # don't exist under SPMD, so poison the lane with NaN — loud in
+            # every downstream obs/reward/metric instead of silently wrong.
+            out = out._replace(
+                y=jnp.where(out.failed, jnp.full_like(out.y, jnp.nan), out.y)
+            )
         y = field.wrap_ship_angle(out.y)
         return y, out.terminated
 
@@ -372,6 +352,20 @@ class EnvEngine:
 
         reward, goal_pos, tiling = self._reward(state, y, last_xy, action, rs)
 
+        # Reference order: _make_observation runs BEFORE _reward
+        # (spaceship_env.py:76-77), so a goal-reach step's observation still
+        # shows the REACHED goal; the resampled goal only enters next step's
+        # state.  Build the obs from the old goal/tiling, the carry from the
+        # new ones.
+        obs_state = EnvState(
+            y=y,
+            planets_pos=state.planets_pos,
+            goal_pos=state.goal_pos,
+            ref_orbit=state.ref_orbit,
+            tiling=state.tiling,
+            steps=steps,
+        )
+        final_obs = self._observe(obs_state)
         cont = EnvState(
             y=y,
             planets_pos=state.planets_pos,
@@ -380,7 +374,6 @@ class EnvEngine:
             tiling=tiling,
             steps=steps,
         )
-        final_obs = self._observe(cont)
 
         if self.auto_reset:
             fresh = self._reset_lane(rs)

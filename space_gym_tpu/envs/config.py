@@ -16,6 +16,22 @@ from ..tiling.geometry import TilingGeometry, make_tiling
 
 TASK_DO_NOT_CRASH = "do_not_crash"
 
+# "No TimeLimit" sentinel (the reference registers KeplerDiscrete-v0 without
+# max_episode_steps, keyboard_agent.py:10-27, so those episodes only end on
+# terminal events).  int32 step counters never reach it in practice.
+NO_TIME_LIMIT = 2**31 - 1
+
+# Discrete action table (spaceship_env.py:189-202): action id ->
+# (engine in {0,1}, thruster in {-1,0,1}).
+DISCRETE_ACTIONS = (
+    (0.0, 0.0),
+    (1.0, 0.0),
+    (0.0, -1.0),
+    (0.0, 1.0),
+    (1.0, -1.0),  # (raw - 4.5) * 2 for raw=4
+    (1.0, 1.0),   # (raw - 4.5) * 2 for raw=5
+)
+
 
 @dataclass(frozen=True)
 class Planet:

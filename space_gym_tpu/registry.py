@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from .envs.config import EnvConfig, dnc_config, goal_config, kepler_config
+from .envs.config import NO_TIME_LIMIT, EnvConfig, dnc_config, goal_config, kepler_config
 
 _REGISTRY: Dict[str, Callable[[], EnvConfig]] = {}
 
@@ -136,6 +136,8 @@ register(
         ref_orbit_a=1.2,
         ref_orbit_eccentricity=0.0,
         ref_orbit_angle=0.0,
-        max_episode_steps=500,
+        # The reference registers this ID with NO max_episode_steps
+        # (keyboard_agent.py:10-27): episodes end only on terminal events.
+        max_episode_steps=NO_TIME_LIMIT,
     ),
 )

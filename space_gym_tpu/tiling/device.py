@@ -34,11 +34,22 @@ from ..utils.randvec import RandSource
 from .geometry import DIAGONAL_CASES, MAX_GOAL_CANDIDATES, TilingGeometry
 
 
+# The reference keeps free tiles as a LIST that can hold duplicate entries:
+# find_new_goal appends the old ship tile unconditionally
+# (hexagonal_tiling.py:104), so after consecutive goal-on-ship-tile draws the
+# same tile carries multiple entries and proportionally higher candidate
+# weight.  The device twin therefore stores per-tile ENTRY COUNTS, capped at
+# MAX_FREE_DUP (exceeding it needs 3+ consecutive p=0.25 same-tile draws —
+# probability < 2%% per thousand goal transitions; beyond-cap entries would
+# change candidate weights by at most 1 part in 4).
+MAX_FREE_DUP = MAX_GOAL_CANDIDATES
+
+
 class TilingState(NamedTuple):
     """Per-lane dynamic tiling state (mirrors the mutable fields of the
     reference HexagonalTiling instance)."""
 
-    free: jax.Array       # (n_tiles,) bool — tile unoccupied
+    free: jax.Array       # (n_tiles,) int32 — free-list entry count per tile
     ship_tile: jax.Array  # int32
     goal_tile: jax.Array  # int32, -1 until the first goal is placed
     case_b: jax.Array     # bool  (hexagonal_tiling.py:69)
@@ -98,9 +109,10 @@ def tiling_reset(geom: TilingGeometry, rs: RandSource, dtype=jnp.float32):
         diag = onehot_take(jnp.asarray(DIAGONAL_CASES, jnp.int32), case)
         tiles = jnp.where(use_diag, diag, tiles)
 
-    # Occupancy mask without scatter (TPU: masked compare beats scatter).
+    # Occupancy without scatter (TPU: masked compare beats scatter); each
+    # unoccupied tile starts with exactly one free-list entry.
     iota = jnp.arange(n, dtype=jnp.int32)
-    free = ~jnp.any(iota[:, None] == tiles[None, :], axis=1)
+    free = (~jnp.any(iota[:, None] == tiles[None, :], axis=1)).astype(jnp.int32)
     ts = TilingState(
         free=free,
         ship_tile=tiles[0],
@@ -128,18 +140,25 @@ def find_new_goal(geom: TilingGeometry, ts: TilingState, rs: RandSource, dtype=j
     iota = jnp.arange(geom.n_tiles, dtype=jnp.int32)
 
     subsequent = ts.goal_tile >= 0
-    free = jnp.where(subsequent, ts.free | (iota == ts.ship_tile), ts.free)
+    free = jnp.where(
+        subsequent,
+        jnp.minimum(ts.free + (iota == ts.ship_tile), MAX_FREE_DUP),
+        ts.free,
+    )
     ship_tile = jnp.where(subsequent, ts.goal_tile, ts.ship_tile)
 
-    # Top-k of iid scores = uniform candidate subset of the free tiles, in
-    # random order (so argmax tie-breaking is random, like the reference's
-    # scan over randomly-ordered candidates).
+    # Top-k of iid scores over free-list ENTRIES = uniform candidate subset
+    # of the reference's (possibly duplicated) free list, in random order
+    # (so argmax tie-breaking is random, like the reference's scan over
+    # randomly-ordered candidates).  Entry (i, j) exists iff j < free[i].
     same = rs.bernoulli(0.25)
-    scores = rs.scores(geom.n_tiles)
-    masked = jnp.where(free, scores, -1.0)
-    k_cand = min(MAX_GOAL_CANDIDATES, geom.n_tiles)
-    top_vals, top_idx = jax.lax.top_k(masked, k_cand)
-    valid = top_vals >= 0  # fewer than k_cand free tiles -> masked out
+    scores = rs.scores(geom.n_tiles * MAX_FREE_DUP).reshape(geom.n_tiles, MAX_FREE_DUP)
+    entry_valid = jnp.arange(MAX_FREE_DUP)[None, :] < free[:, None]
+    masked = jnp.where(entry_valid, scores, -1.0).reshape(-1)
+    k_cand = min(MAX_GOAL_CANDIDATES, geom.n_tiles * MAX_FREE_DUP)
+    top_vals, top_flat = jax.lax.top_k(masked, k_cand)
+    top_idx = (top_flat // MAX_FREE_DUP).astype(jnp.int32)  # entry -> tile
+    valid = top_vals >= 0  # fewer than k_cand free entries -> masked out
 
     ship_rc = onehot_take(coords, ship_tile)
     cand_rc = onehot_take(coords, top_idx)
@@ -148,7 +167,7 @@ def find_new_goal(geom: TilingGeometry, ts: TilingState, rs: RandSource, dtype=j
     best = onehot_take(top_idx, jnp.argmax(taxi).astype(jnp.int32))
 
     goal_tile = jnp.where(same, ship_tile, best)
-    free = jnp.where(same, free, free & (iota != best))
+    free = jnp.where(same, free, free - (iota == best))
 
     new_ts = TilingState(
         free=free,

@@ -93,18 +93,25 @@ class RandSource:
         return out if shape else out[0]
 
 
-def count_consumed(fn: Callable[[RandSource], object], probe: int = 4096, dtype=jnp.float32) -> int:
-    """Number of uniforms `fn` consumes, determined by abstract tracing."""
+def count_consumed(
+    fn: Callable[..., object],
+    probe: int = 4096,
+    dtype=jnp.float32,
+    example_args: tuple = (),
+) -> int:
+    """Number of uniforms `fn(rs, *example_args)` consumes, determined by
+    abstract tracing (jax.eval_shape — nothing compiled or executed).
+    `example_args` are ShapeDtypeStruct pytrees for any extra inputs."""
     consumed = 0
 
-    def wrapped(u):
+    def wrapped(u, *args):
         nonlocal consumed
         rs = RandSource(u)
-        fn(rs)
+        fn(rs, *args)
         consumed = rs.i
         return jnp.zeros(())
 
-    jax.eval_shape(wrapped, jax.ShapeDtypeStruct((probe,), dtype))
+    jax.eval_shape(wrapped, jax.ShapeDtypeStruct((probe,), dtype), *example_args)
     return consumed
 
 

@@ -151,6 +151,16 @@ def test_goal_resample_on_reach():
     # 0.07 s drift step (velocity ~ gravity * dt, displacement << goal radius).
     assert moved.all()
     assert (reward > cfg.goal.goal_sparse_reward / 2).all()
+    # Reference obs ordering (spaceship_env.py:76-77): the step's observation
+    # is built BEFORE _reward resamples the goal, so its goal-lidar still
+    # points at the REACHED goal — near-zero magnitude, since the ship is
+    # effectively on it (only a 0.07 s gravity drift away).
+    base = 7 + 2 * cfg.n_planets
+    goal_lidar = np.asarray(ts.final_obs[:, base:base + 2])
+    assert (np.linalg.norm(goal_lidar, axis=-1) < 2 * cfg.goal_radius).all()
+    # The NEXT step's obs (carried in ts.obs for non-done lanes) also uses the
+    # pre-resample goal, matching the reference's end-of-step construction.
+    np.testing.assert_array_equal(np.asarray(ts.obs), np.asarray(ts.final_obs))
 
 
 def test_device_tiling_geometry():
@@ -228,7 +238,7 @@ def test_engine_obs_matches_host_adapter(env_id):
     if cfg.task == "goal":
         nt = cfg.tiling.n_tiles
         tiling = dtiling.TilingState(
-            free=jnp.ones((nt,), bool),
+            free=jnp.ones((nt,), jnp.int32),
             ship_tile=jnp.asarray(0, jnp.int32),
             goal_tile=jnp.asarray(1, jnp.int32),
             case_b=jnp.asarray(False),

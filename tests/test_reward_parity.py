@@ -16,7 +16,7 @@ def engine_state_from_adapter(env, cfg, dtype=jnp.float64):
     if cfg.task == "goal":
         nt = cfg.tiling.n_tiles
         tiling = dtiling.TilingState(
-            free=jnp.ones((nt,), bool),
+            free=jnp.ones((nt,), jnp.int32),
             ship_tile=jnp.asarray(0, jnp.int32),
             goal_tile=jnp.asarray(1, jnp.int32),
             case_b=jnp.asarray(False),
