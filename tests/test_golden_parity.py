@@ -27,15 +27,19 @@ GOLDEN_IDS = [
     "KeplerEllipseHard-v0",
     "KeplerRandomOrbits-v0",
 ]
+# Two independently recorded sets: seed 42 x 3 episodes (top level) and
+# seed 7 x 2 episodes (seed7/), so parity isn't an artifact of one seed.
+GOLDEN_SETS = ["", "seed7"]
+GOLDEN_CASES = [(s, i) for s in GOLDEN_SETS for i in GOLDEN_IDS]
 
 
-def load(env_id):
-    return np.load(os.path.join(GOLDEN_DIR, f"{env_id}.npz"))
+def load(env_id, subset=""):
+    return np.load(os.path.join(GOLDEN_DIR, subset, f"{env_id}.npz"))
 
 
-@pytest.mark.parametrize("env_id", GOLDEN_IDS)
-def test_full_episode_bitwise_host_physics(env_id):
-    g = load(env_id)
+@pytest.mark.parametrize("subset,env_id", GOLDEN_CASES)
+def test_full_episode_bitwise_host_physics(subset, env_id):
+    g = load(env_id, subset)
     episodes = int(g["episodes"])
     seed = int(g["seed"])
     env = space_gym_tpu.make(env_id, physics="host")
