@@ -87,6 +87,7 @@ class EnvEngine:
         refine_iters: int = 12,
         auto_reset: bool = True,
         f32_actions: bool = False,
+        pallas_fuse: str = "env",
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -103,6 +104,9 @@ class EnvEngine:
         # then keeps f32 through the force/torque products).  Native mode uses
         # uniform engine-dtype math instead.
         self.f32_actions = f32_actions
+        # "env" = physics+obs+reward in one kernel; "physics" = physics-only
+        # kernel with the obs/reward tail in XLA (kept for A/B benchmarking).
+        self.pallas_fuse = pallas_fuse
         self._event_fn = events_mod.make_event_fn(
             config.planet_radii, config.world_size, config.max_abs_vel_angle
         )
@@ -175,23 +179,47 @@ class EnvEngine:
 
         if self.physics == "pallas":
             # The fused kernel is inherently batched (component-major layout);
-            # hoist it out of the per-lane vmap and pass results through.
-            from ..ops.pallas_step import fused_step_for_config
+            # hoist it out of the per-lane vmap.  It produces physics, the
+            # observation AND the reward; the per-lane tail keeps only goal
+            # resampling (RNG), truncation and auto-reset.
+            from ..ops.pallas_step import (
+                fused_env_step_for_config,
+                fused_step_for_config,
+            )
 
             block = 1024 if batch % 1024 == 0 else (512 if batch % 512 == 0 else batch)
-            fused = fused_step_for_config(
-                self.config, self.substeps, self.refine_iters, block,
-                jax.default_backend() != "tpu",
-            )
+            interp = jax.default_backend() != "tpu"
             action_b = jax.vmap(self._translate_action)(raw_action)
+            if self.pallas_fuse == "env":
+                fused = fused_env_step_for_config(
+                    self.config, self.substeps, self.refine_iters, block, interp
+                )
+                y_b, term_b, obs_b, rew_b = fused(
+                    state.y, action_b, state.planets_pos, state.goal_pos,
+                    state.ref_orbit,
+                )
+
+                def lane_p(st, a, u_lane, y_phys, term_phys, obs_p, rew_p):
+                    return self._step_lane(
+                        st, a, RandSource(u_lane),
+                        precomp=(y_phys, term_phys, obs_p, rew_p),
+                    )
+
+                return jax.vmap(lane_p)(
+                    state, raw_action, u, y_b, term_b, obs_b, rew_b
+                )
+
+            fused = fused_step_for_config(
+                self.config, self.substeps, self.refine_iters, block, interp
+            )
             y_b, term_b = fused(state.y, action_b, state.planets_pos)
 
-            def lane_p(st, a, u_lane, y_phys, term_phys):
+            def lane_y(st, a, u_lane, y_phys, term_phys):
                 return self._step_lane(
                     st, a, RandSource(u_lane), phys=(y_phys, term_phys)
                 )
 
-            return jax.vmap(lane_p)(state, raw_action, u, y_b, term_b)
+            return jax.vmap(lane_y)(state, raw_action, u, y_b, term_b)
 
         def lane(st, a, u_lane):
             return self._step_lane(st, a, RandSource(u_lane))
@@ -337,35 +365,45 @@ class EnvEngine:
         y = field.wrap_ship_angle(out.y)
         return y, out.terminated
 
-    def _step_lane(self, state: EnvState, raw_action, rs: RandSource, phys=None):
+    def _step_lane(
+        self, state: EnvState, raw_action, rs: RandSource, precomp=None, phys=None
+    ):
         cfg = self.config
         action = self._translate_action(raw_action)
         last_xy = state.y[0:2]
 
-        if phys is None:
-            y, terminated = self._physics(state.y, action, state.planets_pos)
+        if precomp is not None:
+            # Physics, observation and reward came out of the fused kernel;
+            # only the RNG-consuming goal resample remains.
+            y, terminated, final_obs, reward = precomp
+            if cfg.task == TASK_GOAL:
+                _, goal_pos, tiling = self._goal_resample(state, y, rs)
+            else:
+                goal_pos, tiling = state.goal_pos, state.tiling
         else:
-            y, terminated = phys
+            if phys is None:
+                y, terminated = self._physics(state.y, action, state.planets_pos)
+            else:
+                y, terminated = phys
+            reward, goal_pos, tiling = self._reward(state, y, last_xy, action, rs)
+            # Reference order: _make_observation runs BEFORE _reward
+            # (spaceship_env.py:76-77), so a goal-reach step's observation
+            # still shows the REACHED goal; the resampled goal only enters
+            # next step's state.  Build the obs from the old goal/tiling, the
+            # carry from the new ones.
+            obs_state = EnvState(
+                y=y,
+                planets_pos=state.planets_pos,
+                goal_pos=state.goal_pos,
+                ref_orbit=state.ref_orbit,
+                tiling=state.tiling,
+                steps=state.steps,
+            )
+            final_obs = self._observe(obs_state)
+
         steps = state.steps + 1
         truncated = jnp.asarray(steps >= cfg.max_episode_steps) & ~terminated
         done = terminated | truncated
-
-        reward, goal_pos, tiling = self._reward(state, y, last_xy, action, rs)
-
-        # Reference order: _make_observation runs BEFORE _reward
-        # (spaceship_env.py:76-77), so a goal-reach step's observation still
-        # shows the REACHED goal; the resampled goal only enters next step's
-        # state.  Build the obs from the old goal/tiling, the carry from the
-        # new ones.
-        obs_state = EnvState(
-            y=y,
-            planets_pos=state.planets_pos,
-            goal_pos=state.goal_pos,
-            ref_orbit=state.ref_orbit,
-            tiling=state.tiling,
-            steps=steps,
-        )
-        final_obs = self._observe(obs_state)
         cont = EnvState(
             y=y,
             planets_pos=state.planets_pos,
@@ -405,6 +443,22 @@ class EnvEngine:
             r = jnp.asarray(cfg.dnc.reward_per_step, self.dtype)
         return r, state.goal_pos, state.tiling
 
+    def _goal_resample(self, state: EnvState, y, rs: RandSource):
+        """Goal-reach resample (goal.py:154-157, quirk Q11): on reach, a new
+        goal is drawn mid-step, consuming tiling randomness.  Shared by the
+        XLA reward path and the fused-kernel tail so the RandSource
+        consumption order is identical in both modes."""
+        cfg = self.config
+        reached = jnp.linalg.norm(state.goal_pos - y[0:2]) < cfg.goal_radius
+        new_tiling, new_goal = dtiling.find_new_goal(
+            cfg.tiling, state.tiling, rs, self.dtype
+        )
+        tiling = jax.tree.map(
+            lambda a, b: jnp.where(reached, a, b), new_tiling, state.tiling
+        )
+        goal_pos = jnp.where(reached, new_goal, state.goal_pos)
+        return reached, goal_pos, tiling
+
     def _goal_reward(self, state: EnvState, y, last_xy, rs: RandSource):
         """goal.py:147-158 (+ _goal_vel_reward2 :160-164,
         _safety_reward_simple2 :204-227) with on-device goal resampling on
@@ -434,16 +488,8 @@ class EnvEngine:
             + p.goal_vel_reward_scale * goal_vel_reward
             + p.safety_reward_scale * safety
         )
-        reached = cur_dist < cfg.goal_radius
+        reached, goal_pos, tiling = self._goal_resample(state, y, rs)
         reward = reward + jnp.where(reached, p.goal_sparse_reward, 0.0)
-
-        new_tiling, new_goal = dtiling.find_new_goal(
-            cfg.tiling, state.tiling, rs, self.dtype
-        )
-        tiling = jax.tree.map(
-            lambda a, b: jnp.where(reached, a, b), new_tiling, state.tiling
-        )
-        goal_pos = jnp.where(reached, new_goal, state.goal_pos)
         return reward.astype(self.dtype), goal_pos, tiling
 
     def _kepler_reward(self, state: EnvState, y, action):

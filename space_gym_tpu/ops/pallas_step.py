@@ -1,8 +1,9 @@
-"""Pallas TPU kernel: the fused fixed-substep physics step.
+"""Pallas TPU kernels: fused fixed-substep physics (and optionally the whole
+observation + reward tail) for the vectorized engine.
 
 Same semantics as ops.fixed_rk.fixed_solve_step (static Dormand-Prince 5(4)
 substeps + per-event dense-output bisection, state returned at the earliest
-event time), but laid out TPU-first:
+event time), laid out TPU-first:
 
 * **component-major layout** — state is (6, B), planets (2P, B), action
   (2, B): the lane axis rides the VPU's 128-wide lane dimension at full
@@ -15,11 +16,24 @@ event time), but laid out TPU-first:
   spot: 74/97/86/60 M physics-steps/s at block 256/1024/2048/4096 on one
   chip).
 
-The engine uses it via `EnvEngine(..., physics="pallas")`; `interpret=True`
-makes the same kernel run (slowly) on CPU for tests.  Dynamics reference:
-gym_space/dynamic_model.py:129-217 (see ops/field.py and ops/events.py for
-the semantics contract; this kernel must agree with ops.fixed_rk to fp
-tolerance, enforced by tests/test_pallas.py).
+Two kernels share one physics body:
+
+* `make_fused_step`     — physics only: (y, action, planets) -> (y', term).
+* `make_fused_env_step` — physics + observation (spaceship_env.py:113-140,
+  built from the PRE-resample goal per the reference's obs-before-reward
+  order) + per-task reward (goal.py:147-158 sans the RNG-consuming resample,
+  kepler.py:111-150, DNC constant): -> (y', term, obs, reward).  The engine's
+  XLA tail keeps only goal resampling, truncation and auto-reset.
+
+Lidar note: the reference computes unit(atan2(v)) * scale; the kernel uses
+v/|v| * scale — mathematically identical direction, ulp-level fp difference,
+covered by the kernel-vs-XLA tolerance tests.
+
+The engine uses these via `EnvEngine(..., physics="pallas")`;
+`interpret=True` runs the same kernels (slowly) on CPU for tests.  Dynamics
+reference: gym_space/dynamic_model.py:129-217 (see ops/field.py and
+ops/events.py for the semantics contract; agreement with ops.fixed_rk is
+enforced by tests/test_pallas.py).
 """
 from __future__ import annotations
 
@@ -33,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .constants import G
 from .field import STEERING_ACCELERATION, STEERING_VELOCITY, VELOCITY_STEERING_SCALE, ShipParams
+
 from .rk45 import DP_A, DP_B, DP_P, N_STAGES
+
+TWO_PI = 6.283185307179586
 
 
 def _wsum(vecs, coeffs):
@@ -43,22 +60,21 @@ def _wsum(vecs, coeffs):
     return acc
 
 
-def make_fused_step(
+def _make_physics_body(
     ship: ShipParams,
     planet_masses: Sequence[float],
     planet_radii: Sequence[float],
     world_size: float,
     max_abs_vel_angle: float,
     step_size: float,
-    n_substeps: int = 2,
-    refine_iters: int = 12,
-    block: int = 1024,
-    interpret: bool = False,
+    n_substeps: int,
+    refine_iters: int,
 ):
-    """Build `step(y (B,6), action (B,2), planets (B,P,2)) -> (y', terminated)`.
+    """Component-major DP5 + event-bisection body shared by both kernels.
 
-    All config is static (baked into the kernel); B must be a multiple of
-    `block`.
+    Returns `body(comp, px, py, ae, at) -> (y_final comps, terminated)` where
+    comp is a list of 6 (block,) arrays and px/py are per-planet coordinate
+    vectors.  The velocity-steering omega override is applied inside.
     """
     n_planets = len(planet_masses)
     n_events = n_planets + 3
@@ -67,9 +83,7 @@ def make_fused_step(
     masses = tuple(float(m) for m in planet_masses)
     h = step_size / n_substeps
 
-    # ---- component-major physics on (block,) vectors -------------------
     def rhs(comp, px, py, ae, at):
-        """comp: list of 6 (block,) arrays [x, y, th, vx, vy, w]."""
         x, y, th, vx, vy, w = comp
         efs = ae * ship.max_engine_force
         fx = -jnp.cos(th) * efs
@@ -101,20 +115,14 @@ def make_fused_step(
         return out
 
     def lcomb(stacks, coeffs):
-        """Per-component weighted sum over RK stages."""
         return [_wsum([st[c] for st in stacks], coeffs) for c in range(6)]
 
-    def kernel(y_ref, a_ref, p_ref, yo_ref, term_ref):
-        comp = [y_ref[c, :] for c in range(6)]
-        ae = a_ref[0, :]
-        at = a_ref[1, :]
-        px = [p_ref[2 * i, :] for i in range(n_planets)]
-        py = [p_ref[2 * i + 1, :] for i in range(n_planets)]
-
+    def body(comp, px, py, ae, at):
         if ship.steering == STEERING_VELOCITY:
+            comp = list(comp)
             comp[5] = VELOCITY_STEERING_SCALE * at
 
-        dt = y_ref.dtype
+        dt = comp[0].dtype
         f = rhs(comp, px, py, ae, at)
         g = events(comp, px, py)
         zeros = jnp.zeros_like(comp[0])
@@ -123,7 +131,6 @@ def make_fused_step(
         t = 0.0
 
         for _ in range(n_substeps):
-            # Dormand-Prince stages (unrolled; FSAL).
             K = [f]
             for s in range(1, N_STAGES):
                 dy = lcomb(K, DP_A[s])
@@ -145,7 +152,6 @@ def make_fused_step(
                 any_event = any_event | active[e]
             fire = any_event & ~terminated
 
-            # Quartic dense output Q[c][m] (per component, 4 coefficients).
             Q = [
                 [_wsum([st[c] for st in K], tuple(DP_P[j][m] for j in range(7)))
                  for m in range(4)]
@@ -153,7 +159,7 @@ def make_fused_step(
             ]
             t0 = t
 
-            def sol(tq):
+            def sol(tq, Q=Q, comp=comp, t0=t0):
                 xq = (tq - t0) / h
                 p1 = xq
                 p2 = p1 * xq
@@ -165,10 +171,6 @@ def make_fused_step(
                     for c in range(6)
                 ]
 
-            def sol_events(tq):
-                return events(sol(tq), px, py)
-
-            # Per-event bisection (unrolled) on [t, t+h].
             roots = []
             for e in range(n_events):
                 lo = jnp.full_like(comp[0], t0)
@@ -176,7 +178,7 @@ def make_fused_step(
                 f_lo = g[e]
                 for _ in range(refine_iters):
                     mid = 0.5 * (lo + hi)
-                    g_mid = sol_events(mid)[e]
+                    g_mid = events(sol(mid), px, py)[e]
                     left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
                     lo = jnp.where(left, lo, mid)
                     hi = jnp.where(left, mid, hi)
@@ -198,49 +200,272 @@ def make_fused_step(
             t = t + h
 
         # wrap_ship_angle (dynamic_model.py:179-180)
-        y_final[2] = jnp.mod(y_final[2], 2 * jnp.pi)
+        y_final[2] = jnp.mod(y_final[2], TWO_PI)
+        return y_final, terminated
+
+    return body
+
+
+def _grid_call(kernel, ins, in_rows, out_rows, out_dtypes, B, block, interpret):
+    """pallas_call helper: everything is (rows, B) blocked along lanes."""
+    grid = (B // block,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in in_rows
+        ],
+        out_specs=[
+            pl.BlockSpec((r, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for r in out_rows
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, B), d) for r, d in zip(out_rows, out_dtypes)
+        ],
+        interpret=interpret,
+    )(*ins)
+
+
+def make_fused_step(
+    ship: ShipParams,
+    planet_masses: Sequence[float],
+    planet_radii: Sequence[float],
+    world_size: float,
+    max_abs_vel_angle: float,
+    step_size: float,
+    n_substeps: int = 2,
+    refine_iters: int = 12,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Build `step(y (B,6), action (B,2), planets (B,P,2)) -> (y', terminated)`."""
+    n_planets = len(planet_masses)
+    body = _make_physics_body(
+        ship, planet_masses, planet_radii, world_size, max_abs_vel_angle,
+        step_size, n_substeps, refine_iters,
+    )
+
+    def kernel(y_ref, a_ref, p_ref, yo_ref, term_ref):
+        comp = [y_ref[c, :] for c in range(6)]
+        ae = a_ref[0, :]
+        at = a_ref[1, :]
+        px = [p_ref[2 * i, :] for i in range(n_planets)]
+        py = [p_ref[2 * i + 1, :] for i in range(n_planets)]
+        y_final, terminated = body(comp, px, py, ae, at)
         for c in range(6):
             yo_ref[c, :] = y_final[c]
         term_ref[0, :] = terminated.astype(jnp.int32)
 
     def step(y: jax.Array, action: jax.Array, planets: jax.Array):
-        """y (B,6), action (B,2) translated, planets (B,P,2) -> (y', term)."""
         B = y.shape[0]
         if B % block:
             raise ValueError(f"batch {B} must be a multiple of block {block}")
-        yt = y.T  # (6, B)
-        at = action.T  # (2, B)
-        pt = planets.reshape(B, 2 * n_planets).T  # (2P, B)
-
-        grid = (B // block,)
-        yo, term = pl.pallas_call(
+        yo, term = _grid_call(
             kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((6, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (2 * n_planets, block), lambda i: (0, i), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((6, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((6, B), y.dtype),
-                jax.ShapeDtypeStruct((1, B), jnp.int32),
-            ],
-            interpret=interpret,
-        )(yt, at, pt)
+            (y.T, action.T, planets.reshape(B, 2 * n_planets).T),
+            in_rows=(6, 2, 2 * n_planets),
+            out_rows=(6, 1),
+            out_dtypes=(y.dtype, jnp.int32),
+            B=B, block=block, interpret=interpret,
+        )
         return yo.T, term[0].astype(bool)
+
+    return step
+
+
+def make_fused_env_step(
+    config,
+    n_substeps: int = 2,
+    refine_iters: int = 12,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Physics + observation + reward in one kernel.
+
+    `step(y (B,6), action (B,2), planets (B,P,2), goal (B,2), ref_orbit (B,3))
+    -> (y' (B,6), terminated (B,), obs (B,D), reward (B,))`.
+
+    The observation uses the PRE-step goal (reference obs-before-reward order);
+    the reward includes the goal sparse bonus but NOT the resample (RNG stays
+    in the engine's XLA tail).
+    """
+    from ..envs.config import TASK_GOAL, TASK_KEPLER
+
+    n_planets = config.n_planets
+    body = _make_physics_body(
+        config.ship, config.planet_masses, config.planet_radii,
+        config.world_size, config.max_abs_vel_angle, config.step_size,
+        n_substeps, refine_iters,
+    )
+    radii = tuple(float(r) for r in config.planet_radii)
+    ws = config.world_size
+    obs_dim = config.obs_dim
+    task = config.task
+    k = config.kepler
+    gl = config.goal
+    alpha_gm = G * k.planet_mass if k is not None else 0.0
+
+    def lidar(pos_x, pos_y, ox, oy, radius):
+        """unit(ship->obj) * (dist - radius) * 2 / ws (spaceship_env.py:133-140);
+        direction via v/|v| instead of cos/sin(atan2) — identical value."""
+        vx = ox - pos_x
+        vy = oy - pos_y
+        d = jnp.sqrt(vx * vx + vy * vy)
+        scale = (d - radius) * (2.0 / ws) / d
+        return vx * scale, vy * scale
+
+    def kernel(y_ref, a_ref, p_ref, g_ref, r_ref, yo_ref, term_ref, obs_ref, rew_ref):
+        comp0 = [y_ref[c, :] for c in range(6)]
+        ae = a_ref[0, :]
+        at = a_ref[1, :]
+        px = [p_ref[2 * i, :] for i in range(n_planets)]
+        py = [p_ref[2 * i + 1, :] for i in range(n_planets)]
+        gx = g_ref[0, :]
+        gy = g_ref[1, :]
+
+        yf, terminated = body(comp0, px, py, ae, at)
+        for c in range(6):
+            yo_ref[c, :] = yf[c]
+        term_ref[0, :] = terminated.astype(jnp.int32)
+
+        x, yy, th, vx, vy, w = yf
+        # --- observation (spaceship_env.py:113-131; raw, quirk Q1) ---
+        row = 0
+        obs_ref[0, :] = x
+        obs_ref[1, :] = yy
+        obs_ref[2, :] = jnp.cos(th)
+        obs_ref[3, :] = jnp.sin(th)
+        obs_ref[4, :] = vx
+        obs_ref[5, :] = vy
+        obs_ref[6, :] = w
+        row = 7
+        if config.with_lidar:
+            for i in range(n_planets):
+                lx, ly = lidar(x, yy, px[i], py[i], radii[i])
+                obs_ref[row, :] = lx
+                obs_ref[row + 1, :] = ly
+                row += 2
+            if config.with_goal:
+                lx, ly = lidar(x, yy, gx, gy, 0.0)
+                obs_ref[row, :] = lx
+                obs_ref[row + 1, :] = ly
+                row += 2
+        if task == TASK_KEPLER:
+            obs_ref[row, :] = r_ref[0, :]
+            obs_ref[row + 1, :] = r_ref[1, :]
+            obs_ref[row + 2, :] = r_ref[2, :]
+            row += 3
+        assert row == obs_dim, (row, obs_dim)
+
+        # --- reward ---
+        if task == TASK_GOAL:
+            x0 = comp0[0]
+            y0 = comp0[1]
+            dxg = gx - x
+            dyg = gy - yy
+            cur = jnp.sqrt(dxg * dxg + dyg * dyg)
+            dxl = gx - x0
+            dyl = gy - y0
+            last = jnp.sqrt(dxl * dxl + dyl * dyl)
+            gvr = (last - cur) * gl.distance_fctr
+            # closest planet: track min dist + its coordinates/radius.
+            mind = None
+            cx = cy = None
+            cr = None
+            for i in range(n_planets):
+                dx = px[i] - x
+                dy = py[i] - yy
+                d = jnp.sqrt(dx * dx + dy * dy)
+                if mind is None:
+                    mind, cx, cy, cr = d, px[i], py[i], jnp.full_like(d, radii[i])
+                else:
+                    closer = d < mind
+                    cx = jnp.where(closer, px[i], cx)
+                    cy = jnp.where(closer, py[i], cy)
+                    cr = jnp.where(closer, radii[i], cr)
+                    mind = jnp.minimum(d, mind)
+            pdx = cx - x0
+            pdy = cy - y0
+            prev = jnp.sqrt(pdx * pdx + pdy * pdy)
+            danger = (mind - cr) < gl.danger_zone
+            approach = prev > mind
+            safety = jnp.where(danger & approach, -gl.distance_fctr * (prev - mind), 0.0)
+            reward = (
+                gl.survival_reward_scale
+                + gl.goal_vel_reward_scale * gvr
+                + gl.safety_reward_scale * safety
+            )
+            reward = reward + jnp.where(cur < config.goal_radius, gl.goal_sparse_reward, 0.0)
+        elif task == TASK_KEPLER:
+            # _dense_reward5 (kepler.py:111-150) in component form.
+            ra = r_ref[0, :]   # ref orbit angle
+            ecc = r_ref[1, :]
+            a_ax = r_ref[2, :]
+            b_ax = jnp.sqrt(a_ax * a_ax * (1 - ecc * ecc))
+            c_f = jnp.sqrt(a_ax * a_ax - b_ax * b_ax)
+            ca = jnp.cos(ra)
+            sa = jnp.sin(ra)
+            # rotate(pos, ra): [c*x + s*y, -s*x + c*y]
+            wpos = ca * x + sa * yy - c_f
+            zpos = -sa * x + ca * yy
+            r2 = wpos * wpos + zpos * zpos
+            cur_rad = jnp.sqrt(r2)
+            # (ecc*cos(atan2(z,w)))^2 == ecc^2 * w^2 / (w^2+z^2) — avoids
+            # atan2 (kepler.py:98-109 computes the same quantity via theta).
+            target_rad = b_ax * jax.lax.rsqrt(1 - ecc * ecc * wpos * wpos / r2)
+            sc = target_rad / cur_rad
+            wq = wpos * sc
+            zq = zpos * sc
+            vtw = -(a_ax / b_ax) * zq
+            vtz = (b_ax / a_ax) * wq
+            rfoc = jnp.sqrt((wq + c_f) ** 2 + zq * zq)
+            vmag = jnp.sqrt(alpha_gm * (2 / rfoc - 1 / a_ax))
+            vnorm = jnp.sqrt(vtw * vtw + vtz * vtz)
+            vtw = vtw * vmag / vnorm
+            vtz = vtz * vmag / vnorm
+            # rotate back by -ra
+            tvx = ca * vtw - sa * vtz
+            tvy = sa * vtw + ca * vtz
+            act_pen = jnp.sqrt(ae * ae + at * at)
+            C = k.numerator_C
+            reward = C / (
+                k.rad_penalty_C * jnp.abs(cur_rad - target_rad)
+                + jnp.abs(tvx - vx)
+                + jnp.abs(tvy - vy)
+                + k.act_penalty_C * act_pen
+                + C
+            )
+        else:
+            reward = jnp.full_like(x, config.dnc.reward_per_step)
+        rew_ref[0, :] = reward
+
+    def step(y, action, planets, goal, ref_orbit):
+        B = y.shape[0]
+        if B % block:
+            raise ValueError(f"batch {B} must be a multiple of block {block}")
+        yo, term, obs, rew = _grid_call(
+            kernel,
+            (
+                y.T,
+                action.T,
+                planets.reshape(B, 2 * n_planets).T,
+                goal.T,
+                ref_orbit.T,
+            ),
+            in_rows=(6, 2, 2 * n_planets, 2, 3),
+            out_rows=(6, 1, obs_dim, 1),
+            out_dtypes=(y.dtype, jnp.int32, y.dtype, y.dtype),
+            B=B, block=block, interpret=interpret,
+        )
+        return yo.T, term[0].astype(bool), obs.T, rew[0]
 
     return step
 
 
 @functools.lru_cache(maxsize=None)
 def fused_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False):
-    """EnvConfig -> fused step (cached; EnvConfig is hashable)."""
+    """EnvConfig -> physics-only fused step (cached; EnvConfig is hashable)."""
     return make_fused_step(
         config.ship,
         config.planet_masses,
@@ -248,6 +473,18 @@ def fused_step_for_config(config, substeps=2, refine_iters=12, block=1024, inter
         config.world_size,
         config.max_abs_vel_angle,
         config.step_size,
+        n_substeps=substeps,
+        refine_iters=refine_iters,
+        block=block,
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def fused_env_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False):
+    """EnvConfig -> physics+obs+reward fused step (cached)."""
+    return make_fused_env_step(
+        config,
         n_substeps=substeps,
         refine_iters=refine_iters,
         block=block,
