@@ -87,7 +87,7 @@ class EnvEngine:
         refine_iters: int = 12,
         auto_reset: bool = True,
         f32_actions: bool = False,
-        pallas_fuse: str = "env",
+        pallas_fuse: str = "full",
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -104,8 +104,9 @@ class EnvEngine:
         # then keeps f32 through the force/torque products).  Native mode uses
         # uniform engine-dtype math instead.
         self.f32_actions = f32_actions
-        # "env" = physics+obs+reward in one kernel; "physics" = physics-only
-        # kernel with the obs/reward tail in XLA (kept for A/B benchmarking).
+        # "full" = the entire step (physics+obs+reward+resample+auto-reset) in
+        # one kernel (ops.pallas_full); "env" = physics+obs+reward kernel with
+        # the reset tail in XLA; "physics" = physics-only kernel (A/B tiers).
         self.pallas_fuse = pallas_fuse
         self._event_fn = events_mod.make_event_fn(
             config.planet_radii, config.world_size, config.max_abs_vel_angle
@@ -190,6 +191,8 @@ class EnvEngine:
             block = 1024 if batch % 1024 == 0 else (512 if batch % 512 == 0 else batch)
             interp = jax.default_backend() != "tpu"
             action_b = jax.vmap(self._translate_action)(raw_action)
+            if self.pallas_fuse == "full":
+                return self._step_full_fused(state, action_b, key, block, interp)
             if self.pallas_fuse == "env":
                 fused = fused_env_step_for_config(
                     self.config, self.substeps, self.refine_iters, block, interp
@@ -225,6 +228,79 @@ class EnvEngine:
             return self._step_lane(st, a, RandSource(u_lane))
 
         return jax.vmap(lane)(state, raw_action, u)
+
+    def _step_full_fused(self, state: EnvState, action_b, key, block, interp):
+        """Whole env step in one kernel (ops.pallas_full); XLA only draws the
+        bulk uniforms and assembles the TimeStep."""
+        from ..ops.pallas_full import full_step_for_config
+        from ..tiling.device import TilingState
+
+        cfg = self.config
+        batch = state.y.shape[0]
+        full = full_step_for_config(
+            cfg, self.substeps, self.refine_iters, block, interp
+        )
+        u = jax.random.uniform(key, (batch, full.n_uniform_rows), dtype=self.dtype)
+
+        if cfg.task == TASK_GOAL:
+            ts = state.tiling
+            tili = jnp.concatenate(
+                [
+                    ts.free.astype(jnp.int32),
+                    ts.ship_tile[:, None].astype(jnp.int32),
+                    ts.goal_tile[:, None].astype(jnp.int32),
+                    state.steps[:, None].astype(jnp.int32),
+                    ts.case_b[:, None].astype(jnp.int32),
+                    ts.flip_xy[:, None].astype(jnp.int32),
+                ],
+                axis=1,
+            )
+            col_shift = ts.col_shift
+        else:
+            z = jnp.zeros((batch, 1), jnp.int32)
+            tili = jnp.concatenate([state.steps[:, None].astype(jnp.int32), z, z], axis=1)
+            col_shift = jnp.zeros((batch, 1), self.dtype)
+
+        (yo, po, go, ro, cso, obs, fobs, rew, tio, flags) = full(
+            state.y, action_b, state.planets_pos, state.goal_pos,
+            state.ref_orbit, col_shift, tili, u,
+        )
+        yo = yo.T
+        obs = obs.T
+        fobs = fobs.T
+        terminated = flags[0].astype(bool)
+        truncated = flags[1].astype(bool)
+        done = flags[2].astype(bool)
+        n_tiles = cfg.tiling.n_tiles if cfg.tiling is not None else 0
+        if cfg.task == TASK_GOAL:
+            tiling = TilingState(
+                free=tio[:n_tiles].T,
+                ship_tile=tio[n_tiles],
+                goal_tile=tio[n_tiles + 1],
+                case_b=tio[n_tiles + 3].astype(bool),
+                flip_xy=tio[n_tiles + 4].astype(bool),
+                col_shift=cso.T,
+            )
+            steps = tio[n_tiles + 2]
+        else:
+            tiling = None
+            steps = tio[0]
+        new_state = EnvState(
+            y=yo,
+            planets_pos=po.T.reshape(batch, cfg.n_planets, 2),
+            goal_pos=go.T,
+            ref_orbit=ro.T,
+            tiling=tiling,
+            steps=steps,
+        )
+        return new_state, TimeStep(
+            obs=obs,
+            reward=rew[0],
+            terminated=terminated,
+            truncated=truncated,
+            done=done,
+            final_obs=fobs,
+        )
 
     # ------------------------------------------------------ budget counting --
     def _count_reset(self) -> int:

@@ -1,0 +1,104 @@
+"""Full-fusion Pallas kernel (ops.pallas_full): the entire env step in one
+kernel.  Interpret-mode on CPU keeps sizes small; the compiled kernel is
+exercised on TPU by bench.py and the on-chip validation recorded in RESULTS.
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import space_gym_tpu
+from space_gym_tpu.engine import EnvEngine
+
+SLOW = os.environ.get("SGT_SLOW_TESTS") == "1" or jax.default_backend() == "tpu"
+slow_only = pytest.mark.skipif(
+    not SLOW, reason="interpret-mode kernel is slow; set SGT_SLOW_TESTS=1"
+)
+
+
+def test_norminv_accuracy():
+    from space_gym_tpu.ops.pallas_full import _norminv
+    from scipy.special import ndtri
+
+    u = np.linspace(1e-9, 1 - 1e-9, 20001)
+    got = np.asarray(_norminv(jnp.asarray(u, jnp.float64)))
+    ref = ndtri(u)
+    assert np.abs(got - ref).max() < 1e-8
+
+
+def test_full_matches_env_fused_on_live_lanes():
+    cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
+    ea = EnvEngine(cfg, physics="pallas", dtype=jnp.float32, pallas_fuse="env")
+    ef = EnvEngine(cfg, physics="pallas", dtype=jnp.float32, pallas_fuse="full")
+    B = 128
+    sa, oa = ea.init(jax.random.key(0), B)
+    act = jax.random.uniform(jax.random.key(1), (B, 2), jnp.float32, minval=-1, maxval=1)
+    sa2, ta = ea.step(sa, act, jax.random.key(2))
+    sf2, tf = ef.step(sa, act, jax.random.key(2))
+    assert (np.asarray(ta.done) == np.asarray(tf.done)).all()
+    live = ~np.asarray(ta.done)
+    reached = (
+        np.linalg.norm(np.asarray(sa.goal_pos) - np.asarray(sa2.y[:, :2]), axis=-1)
+        < cfg.goal_radius
+    )
+    m = live & ~reached
+    assert m.sum() > B // 2
+    np.testing.assert_allclose(np.asarray(tf.obs)[m], np.asarray(ta.obs)[m], rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tf.reward)[m], np.asarray(ta.reward)[m], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf2.y)[m], np.asarray(sa2.y)[m], rtol=0, atol=2e-5)
+
+
+@slow_only
+def test_full_reset_distribution_matches_xla():
+    """Force per-step truncation: every step emits in-kernel resets; their
+    marginals must match the XLA reset sampler (KS)."""
+    from scipy.stats import ks_2samp
+
+    cfg = dataclasses.replace(
+        space_gym_tpu.get_config("GoalContinuous2P-v0"), max_episode_steps=1
+    )
+    ef = EnvEngine(cfg, physics="pallas", dtype=jnp.float32, pallas_fuse="full")
+    ex = EnvEngine(cfg, physics="fixed", dtype=jnp.float32)
+    B = 512
+    sf, _ = ef.init(jax.random.key(0), B)
+    sx, _ = ex.init(jax.random.key(0), B)
+    act = jnp.zeros((B, 2), jnp.float32)
+    YF, YX, GF, GX = [], [], [], []
+    for i in range(4):
+        sf, _ = ef.step(sf, act, jax.random.key(100 + i))
+        sx, _ = ex.step(sx, act, jax.random.key(200 + i))
+        YF.append(np.asarray(sf.y)); YX.append(np.asarray(sx.y))
+        GF.append(np.asarray(sf.goal_pos)); GX.append(np.asarray(sx.goal_pos))
+    YF, YX = np.concatenate(YF), np.concatenate(YX)
+    GF, GX = np.concatenate(GF), np.concatenate(GX)
+    for name, a, b in [
+        ("ship x", YF[:, 0], YX[:, 0]),
+        ("speed", np.hypot(YF[:, 3], YF[:, 4]), np.hypot(YX[:, 3], YX[:, 4])),
+        ("ang vel", YF[:, 5], YX[:, 5]),
+        ("goal x", GF[:, 0], GX[:, 0]),
+        ("ship-goal", np.linalg.norm(GF - YF[:, :2], axis=-1),
+         np.linalg.norm(GX - YX[:, :2], axis=-1)),
+    ]:
+        stat, p = ks_2samp(a, b)
+        assert p > 1e-3, f"{name}: KS p={p:.2e}"
+
+
+@slow_only
+def test_full_kepler_randomize_resets():
+    cfg = dataclasses.replace(
+        space_gym_tpu.get_config("KeplerRandomOrbits-v0"), max_episode_steps=1
+    )
+    ef = EnvEngine(cfg, physics="pallas", dtype=jnp.float32, pallas_fuse="full")
+    B = 512
+    sf, _ = ef.init(jax.random.key(0), B)
+    act = jnp.zeros((B, 2), jnp.float32)
+    sf, _ = ef.step(sf, act, jax.random.key(1))
+    ref = np.asarray(sf.ref_orbit)
+    assert ref[:, 1].min() >= 0 and ref[:, 1].max() <= 0.7   # ecc in [0, 0.7)
+    assert ref[:, 0].min() >= 0 and ref[:, 0].max() <= 2 * np.pi
+    assert ref[:, 1].std() > 0.1  # actually resampled
+    r = np.hypot(np.asarray(sf.y)[:, 0], np.asarray(sf.y)[:, 1])
+    assert r.min() >= 0.7 - 1e-5 and r.max() <= 2.5 + 1e-5
