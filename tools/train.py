@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-every", type=int, default=5)
+    ap.add_argument("--physics", default=None,
+                    help="engine physics mode; default: pallas on TPU, fixed elsewhere")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +86,8 @@ def main():
     from space_gym_tpu.utils import checkpoint as ckpt
     from space_gym_tpu.utils.profiling import ThroughputMeter
 
-    eng = EnvEngine(space_gym_tpu.get_config(args.env))
+    physics = args.physics or ("pallas" if jax.default_backend() == "tpu" else "fixed")
+    eng = EnvEngine(space_gym_tpu.get_config(args.env), physics=physics)
     kw = dict(
         lanes=args.lanes,
         rollout_len=args.rollout_len,
