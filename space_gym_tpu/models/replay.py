@@ -90,6 +90,48 @@ def replay_add_slab(state: ReplayState, slab: Transition) -> ReplayState:
     )
 
 
+def nstep_slab(slab: Transition, dones: jax.Array, gamma: float, n: int) -> Transition:
+    """Rewrite a (T, lanes) rollout slab in place as n-step transitions.
+
+    For each start t the chain extends while the episode continues, up to
+    min(n, T-t) steps (tail rows fall back to shorter chains so the slab keeps
+    length T and the T | rows ring alignment):
+
+      reward'   = sum_{k<m} gamma^k r_{t+k}         (m = chain length)
+      next_obs' = next_obs_{t+m-1}                  (pre-reset obs at chain end)
+      discount' = gamma^{m-1} * discount_{t+m-1}    (0 if the chain terminated)
+
+    so the critic target `r' + gamma * discount' * V(next_obs')` equals the
+    m-step TD target.  Chains stop at ANY done (termination or truncation —
+    the next row belongs to a new episode after auto-reset); bootstrapping
+    at the cut uses `discount`, which stays 1 on pure truncation.
+    """
+    if n <= 1:
+        return slab
+    t_len = slab.reward.shape[0]
+    cont = 1.0 - dones.astype(slab.reward.dtype)  # (T, lanes)
+    zeros_row = jnp.zeros_like(slab.reward[:1])
+
+    reward = slab.reward
+    next_obs = slab.next_obs
+    discount = slab.discount
+    alive = jnp.ones_like(slab.reward)  # chain from t reaches step t+k
+    for k in range(1, n):
+        # shift by k with zero padding: row t sees step t+k (or nothing).
+        # reach row t = cont[t+k-1] AND t+k < T (step t+k must exist).
+        reach = jnp.concatenate([cont[k - 1 : t_len - 1], jnp.tile(zeros_row, (k, 1))])
+        alive = alive * reach
+        r_k = jnp.concatenate([slab.reward[k:], jnp.tile(zeros_row, (k, 1))])
+        obs_k = jnp.concatenate(
+            [slab.next_obs[k:], jnp.zeros((k,) + slab.next_obs.shape[1:], slab.next_obs.dtype)]
+        )
+        d_k = jnp.concatenate([slab.discount[k:], jnp.tile(zeros_row, (k, 1))])
+        reward = reward + alive * (gamma**k) * r_k
+        next_obs = jnp.where(alive[..., None] > 0, obs_k, next_obs)
+        discount = jnp.where(alive > 0, (gamma**k) * d_k, discount)
+    return slab._replace(reward=reward, next_obs=next_obs, discount=discount)
+
+
 def replay_sample(state: ReplayState, key: jax.Array, batch: int) -> Transition:
     """Uniform sample of `batch` transitions from the filled region."""
     rows, lanes = state.data.reward.shape

@@ -22,7 +22,9 @@ import optax
 
 from ..engine.core import EnvEngine
 from . import networks
-from .replay import ReplayState, Transition, replay_add_slab, replay_init, replay_sample
+from .replay import (
+    ReplayState, Transition, nstep_slab, replay_add_slab, replay_init, replay_sample,
+)
 
 
 class SACConfig(NamedTuple):
@@ -37,6 +39,12 @@ class SACConfig(NamedTuple):
     init_alpha: float = 0.1
     hidden: tuple = (256, 256)
     warmup_rows: int = 32        # min filled rows before updates count
+    # Reward-scale-aware knobs (long-horizon/small-reward envs like Kepler,
+    # whose dense reward C/(penalty+C) is near zero until the orbit is
+    # tracked; reference README.md:76-83 only shows very-long SB3 runs):
+    n_step: int = 1              # n-step TD targets, computed inside the rollout slab
+    alpha_floor: float = 0.0     # lower bound on the entropy temperature
+    reward_scale: float = 1.0    # multiply rewards entering the replay buffer
 
 
 class SACState(NamedTuple):
@@ -126,7 +134,7 @@ class SACTrainer:
             tr = Transition(
                 obs=obs,
                 action=action,
-                reward=ts.reward,
+                reward=self.cfg.reward_scale * ts.reward,
                 next_obs=ts.final_obs,
                 discount=1.0 - ts.terminated.astype(ts.reward.dtype),
             )
@@ -179,6 +187,8 @@ class SACTrainer:
         )(state.log_alpha)
         upd, alpha_opt = self.opt.update(alpha_grad, state.alpha_opt)
         log_alpha = optax.apply_updates(state.log_alpha, upd)
+        if c.alpha_floor > 0:
+            log_alpha = jnp.maximum(log_alpha, jnp.log(c.alpha_floor))
 
         target = jax.tree.map(
             lambda t, p: t * (1 - c.tau) + p * c.tau,
@@ -200,6 +210,7 @@ class SACTrainer:
         c = self.cfg
         k_roll, k_upd = jax.random.split(key)
         env_state, obs, slab, rewards, dones = self._rollout(state, k_roll)
+        slab = nstep_slab(slab, dones, c.gamma, c.n_step)
         replay = replay_add_slab(state.replay, slab)
         state = state._replace(env_state=env_state, obs=obs, replay=replay)
 

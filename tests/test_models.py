@@ -55,6 +55,47 @@ def test_replay_rejects_misaligned_slab():
         replay_add_slab(rs, make_slab(3, 2, 3, 2, base=0))
 
 
+def test_nstep_slab_matches_reference():
+    """nstep_slab vs a direct per-(t,lane) python evaluation of the m-step
+    target definition, on a random slab with terminations and truncations."""
+    from space_gym_tpu.models.replay import nstep_slab
+
+    rng = np.random.default_rng(3)
+    T, L, D, n, gamma = 7, 5, 2, 3, 0.9
+    reward = rng.normal(size=(T, L)).astype(np.float32)
+    terminated = rng.random((T, L)) < 0.2
+    truncated = (rng.random((T, L)) < 0.1) & ~terminated
+    done = terminated | truncated
+    discount = (1.0 - terminated).astype(np.float32)
+    next_obs = rng.normal(size=(T, L, D)).astype(np.float32)
+    slab = Transition(
+        obs=jnp.zeros((T, L, D)), action=jnp.zeros((T, L, 1)),
+        reward=jnp.asarray(reward), next_obs=jnp.asarray(next_obs),
+        discount=jnp.asarray(discount),
+    )
+    out = jax.jit(lambda s, d: nstep_slab(s, d, gamma, n))(slab, jnp.asarray(done))
+
+    for t in range(T):
+        for l in range(L):
+            # chain length m: extend while previous step continued and the
+            # next step exists, up to n.
+            m = 1
+            while m < n and t + m < T and not done[t + m - 1, l]:
+                m += 1
+            r = sum(gamma**k * reward[t + k, l] for k in range(m))
+            np.testing.assert_allclose(out.reward[t, l], r, rtol=1e-5,
+                                       err_msg=f"reward t={t} l={l}")
+            np.testing.assert_allclose(
+                out.discount[t, l], gamma ** (m - 1) * discount[t + m - 1, l],
+                rtol=1e-6, err_msg=f"discount t={t} l={l}")
+            np.testing.assert_array_equal(
+                np.asarray(out.next_obs[t, l]), next_obs[t + m - 1, l],
+                err_msg=f"next_obs t={t} l={l}")
+    # n=1 is the identity
+    ident = nstep_slab(slab, jnp.asarray(done), gamma, 1)
+    np.testing.assert_array_equal(np.asarray(ident.reward), reward)
+
+
 @pytest.mark.parametrize("algo", ["sac", "td3", "dqn"])
 def test_trainer_smoke(algo):
     kw = dict(lanes=32, rollout_len=4, replay_rows=16, batch_size=64,

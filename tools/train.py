@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--updates-per-iter", type=int, default=4)
     ap.add_argument("--replay-rows", type=int, default=2048)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--n-step", type=int, default=1,
+                    help="SAC: n-step TD targets computed inside the rollout slab")
+    ap.add_argument("--alpha-floor", type=float, default=0.0,
+                    help="SAC: lower bound on the entropy temperature")
+    ap.add_argument("--reward-scale", type=float, default=1.0,
+                    help="SAC: reward multiplier entering the replay buffer")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-steps", type=int, default=600)
@@ -97,7 +104,10 @@ def main():
         lr=args.lr,
     )
     if args.algo == "sac":
-        trainer = SACTrainer(eng, SACConfig(**kw))
+        trainer = SACTrainer(eng, SACConfig(
+            **kw, gamma=args.gamma, n_step=args.n_step,
+            alpha_floor=args.alpha_floor, reward_scale=args.reward_scale,
+        ))
     elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(**kw))
     else:
