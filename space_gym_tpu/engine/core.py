@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..envs import kepler_math
 from ..envs.config import DISCRETE_ACTIONS, TASK_GOAL, TASK_KEPLER, EnvConfig
 from ..ops import events as events_mod
+from ..ops import exact
 from ..ops import field, fixed_rk, rk45
 from ..ops.maths import onehot_take
 from ..ops.constants import G
@@ -525,7 +526,9 @@ class EnvEngine:
         XLA reward path and the fused-kernel tail so the RandSource
         consumption order is identical in both modes."""
         cfg = self.config
-        reached = jnp.linalg.norm(state.goal_pos - y[0:2]) < cfg.goal_radius
+        # Reference reach check is np.linalg.norm (1-D -> BLAS ddot in numpy);
+        # exact.norm_last is that kernel in parity mode, plain jnp otherwise.
+        reached = exact.norm_last(state.goal_pos - y[0:2]) < cfg.goal_radius
         new_tiling, new_goal = dtiling.find_new_goal(
             cfg.tiling, state.tiling, rs, self.dtype
         )
@@ -543,16 +546,23 @@ class EnvEngine:
         p = cfg.goal
         pos = y[0:2]
 
-        cur_dist = jnp.linalg.norm(state.goal_pos - pos)
-        last_dist = jnp.linalg.norm(state.goal_pos - last_xy)
+        cur_dist = exact.norm_last(state.goal_pos - pos)
+        last_dist = exact.norm_last(state.goal_pos - last_xy)
         goal_vel_reward = (last_dist - cur_dist) * p.distance_fctr
 
-        dists = jnp.linalg.norm(state.planets_pos - pos, axis=-1)
+        # The reference's closest-planet scan computes each distance as
+        # np.sqrt((sx-x0)**2 + (sy-y0)**2) on numpy SCALARS (goal.py:204-227)
+        # — scalar **2 is libm pow, not x*x (see ops.exact.powf).
+        def _scalar_dist(a, b):
+            d = a - b
+            return jnp.sqrt(exact.powf(d[..., 0], 2) + exact.powf(d[..., 1], 2))
+
+        dists = _scalar_dist(pos, state.planets_pos)
         closest = jnp.argmin(dists).astype(jnp.int32)
         mindist = jnp.min(dists)
         radius = onehot_take(jnp.asarray(cfg.planet_radii, self.dtype), closest)
         closest_pos = onehot_take(state.planets_pos, closest)
-        prev_dist = jnp.linalg.norm(last_xy - closest_pos)
+        prev_dist = _scalar_dist(last_xy, closest_pos)
         in_danger = (mindist - radius) < p.danger_zone
         approaching = prev_dist > mindist
         safety = jnp.where(
@@ -572,9 +582,12 @@ class EnvEngine:
         """_dense_reward5 (kepler.py:111-150)."""
         k = self.config.kepler
         ref = state.ref_orbit
-        act_penalty = jnp.linalg.norm(action)
+        # Reference: np.linalg.norm(last_action) — f32 sdot for continuous
+        # actions, f64 ddot for the discrete table rows (gym_api._kepler_reward).
+        act_penalty = exact.norm_last(action)
+        xp = exact.exact_xp if exact.enabled() else jnp
         return kepler_math.dense_reward(
-            jnp,
+            xp,
             jnp.asarray(self._alpha_gm, self.dtype),
             y[0:2],
             y[3:5],
@@ -615,8 +628,10 @@ class EnvEngine:
         """_create_lidar_vector (spaceship_env.py:133-140), broadcast over
         objects: unit(ship->obj) * (dist - radius) * 2 / world_size."""
         v = obj_pos - ship_pos
-        ang = jnp.mod(jnp.arctan2(v[..., 1], v[..., 0]), 2 * jnp.pi)
-        scale = (jnp.linalg.norm(v, axis=-1) - obj_radius) * 2 / self.config.world_size
+        ang = jnp.mod(exact.atan2(v[..., 1], v[..., 0]), 2 * jnp.pi)
+        scale = exact.divc(
+            (exact.norm_last(v) - obj_radius) * 2, self.config.world_size
+        )
         return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1) * scale[..., None]
 
 

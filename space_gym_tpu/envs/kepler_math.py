@@ -9,6 +9,14 @@ from __future__ import annotations
 from ..ops.constants import G  # noqa: F401  (re-exported for callers)
 
 
+def _sq(xp, v):
+    """v ** 2 as the reference computes it: on the host path v is a numpy
+    SCALAR, whose ** 2 goes through libm pow (1 ulp from v*v on some inputs);
+    the parity namespace (ops.exact.ExactNamespace) exposes pow2 to match."""
+    pow2 = getattr(xp, "pow2", None)
+    return pow2(v) if pow2 is not None else v**2
+
+
 def semi_minor(xp, a, ecc):
     """Semi-minor axis (kepler.py:43-45)."""
     return xp.sqrt(a * a * (1 - ecc * ecc))
@@ -46,7 +54,7 @@ def orbit_target_vel(xp, alpha_gm, pos_xy, ref_angle, ref_a, ecc, curl=1.0):
     a = ref_a
     pos_wz, b, c = _shifted_wz(xp, pos_xy, ref_angle, a, ecc)
     theta = xp.arctan2(pos_wz[..., 1], pos_wz[..., 0])
-    target_rad = b / xp.sqrt(1 - (ecc * xp.cos(theta)) ** 2)
+    target_rad = b / xp.sqrt(1 - _sq(xp, ecc * xp.cos(theta)))
     pos_wz = pos_wz * target_rad / xp.linalg.norm(pos_wz)
     vt = xp.stack(
         [-curl * a / b * pos_wz[..., 1], curl * b / a * pos_wz[..., 0]], axis=-1
@@ -66,7 +74,7 @@ def orbit_target_rad(xp, pos_xy, ref_angle, ref_a, ecc):
     """Reference-orbit radius at the current angle (kepler.py:98-109)."""
     pos_wz, b, _ = _shifted_wz(xp, pos_xy, ref_angle, ref_a, ecc)
     theta = xp.arctan2(pos_wz[..., 1], pos_wz[..., 0])
-    return b / xp.sqrt(1 - (ecc * xp.cos(theta)) ** 2)
+    return b / xp.sqrt(1 - _sq(xp, ecc * xp.cos(theta)))
 
 
 def dense_reward(

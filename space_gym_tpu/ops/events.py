@@ -21,6 +21,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from . import exact
+
 
 def make_event_fn(
     planet_radii: Sequence[float],
@@ -40,7 +42,9 @@ def make_event_fn(
 
     def event_fn(planets_pos: jax.Array, y: jax.Array) -> jax.Array:
         pos_xy = y[0:2]
-        planet_g = jnp.linalg.norm(planets_pos - pos_xy, axis=-1) - jnp.asarray(
+        # Parity: the reference's per-planet event is np.linalg.norm of a
+        # 2-vector — numpy's 1-D norm = sqrt(BLAS ddot) (ops.exact).
+        planet_g = exact.norm_last(planets_pos - pos_xy) - jnp.asarray(
             radii, dtype=y.dtype
         )
         world_max = jnp.min(half - pos_xy)
@@ -72,7 +76,7 @@ def make_event_component_fns(
     fns = []
     for i, r in enumerate(radii):
         def planet_ev(planets_pos, y, i=i, r=r):
-            return jnp.linalg.norm(planets_pos[i] - y[0:2]) - r
+            return exact.norm_last(planets_pos[i] - y[0:2]) - r
 
         fns.append(planet_ev)
     fns.append(lambda planets_pos, y: jnp.min(half - y[0:2]))

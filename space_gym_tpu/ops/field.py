@@ -25,7 +25,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from . import maths
+from . import exact, maths
 
 STEERING_ACCELERATION = 0
 STEERING_VELOCITY = 1
@@ -111,16 +111,18 @@ def ship_vector_field(
         force_xy = force_xy + maths.gravity_force(
             pos_xy, planets_pos[..., i, :], ship.mass, mass
         )
-    acceleration_xy = force_xy / ship.mass
+    # exact.divc: numpy emits a true division by the constant ship mass/moi;
+    # XLA's reciprocal strength-reduction is 1 ulp off (parity-mode guard).
+    acceleration_xy = exact.divc(force_xy, ship.mass)
 
     if ship.steering == STEERING_ACCELERATION:
         if f32_action:
             # f32 torque / python-float moi stays f32 upstream (dynamic_model.py:161)
-            acceleration_angle = (
-                ext_force_angle_f32 / jnp.float32(ship.moi)
+            acceleration_angle = exact.divc(
+                ext_force_angle_f32, jnp.float32(ship.moi)
             ).astype(y.dtype)
         else:
-            acceleration_angle = ext_force_angle / ship.moi
+            acceleration_angle = exact.divc(ext_force_angle, ship.moi)
     else:
         acceleration_angle = jnp.zeros_like(ext_force_angle)
 

@@ -46,9 +46,18 @@ def gravity_force(
     operation order matters for bitwise parity in f64).
     """
     pos_diff = toward_pos - from_pos
-    center_distance = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)
+    # helpers.gravity computes np.linalg.norm of the 2-vector (BLAS ddot in
+    # numpy); the parity tier routes through the same kernel (ops.exact).
+    # dist**2 upstream is a numpy SCALAR power — that's libm pow(x, 2.0),
+    # which differs from x*x by 1 ulp on some inputs (numpy's array power
+    # fast-path and XLA both square by multiplication) — hence exact.powf.
+    from . import exact
+
+    center_distance = exact.norm_last(pos_diff)[..., None]
     force_direction = pos_diff / center_distance
-    scalar_force = G * from_mass * toward_mass / jnp.squeeze(center_distance, -1) ** 2
+    scalar_force = G * from_mass * toward_mass / exact.powf(
+        jnp.squeeze(center_distance, -1), 2
+    )
     return force_direction * scalar_force[..., None]
 
 

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import exact
+
 SAFETY = 0.9
 MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
@@ -69,20 +71,42 @@ STATUS_FAILED = -1
 
 
 def _rms_norm(x: jax.Array) -> jax.Array:
-    """scipy common.norm: ||x||_2 / sqrt(n)."""
+    """scipy common.norm: ||x||_2 / sqrt(n).  In parity mode the norm routes
+    through numpy's own BLAS ddot (ops.exact) — numpy's 1-D norm is NOT a
+    sequential sum of squares."""
+    if exact.enabled():
+        return exact.divc(exact.norm_last(x), x.size ** 0.5)
     return jnp.linalg.norm(x) / (x.size ** 0.5)
 
 
 def _wsum(vectors, coeffs) -> jax.Array:
     """Sequential weighted sum sum_j vectors[j]*coeffs[j] in ascending j.
 
-    Explicit left-to-right accumulation pins the f64 rounding order (numpy's
-    small-size dot is also sequential), which matters for parity.
+    Explicit left-to-right accumulation pins the f64 rounding order; close to
+    (but not exactly) numpy's BLAS gemv order — the parity path uses
+    _stage_dot instead.
     """
     acc = vectors[0] * coeffs[0]
     for v, c in zip(vectors[1:], coeffs[1:]):
         acc = acc + v * c
     return acc
+
+
+def _stage_dot(vectors, coeffs, which: int) -> jax.Array:
+    """np.dot(K[:s].T, coeffs) as scipy computes it.  Parity mode issues the
+    same OpenBLAS gemv numpy would (ops.exact); otherwise the sequential
+    accumulation (bit-identical coefficient values either way)."""
+    if exact.enabled():
+        return exact.kt_dot(jnp.stack(vectors), which)
+    return _wsum(vectors, coeffs)
+
+
+def _powf(x, e: float):
+    """Static-exponent pow; libm-exact in parity mode (scipy's controller
+    pow is numpy-scalar pow == libm pow)."""
+    if exact.enabled():
+        return exact.powf(x, e)
+    return x**e
 
 
 def select_initial_step(rhs, t0, y0, f0, t_bound, rtol, atol):
@@ -100,7 +124,7 @@ def select_initial_step(rhs, t0, y0, f0, t_bound, rtol, atol):
     h1 = jnp.where(
         (d1 <= 1e-15) & (d2 <= 1e-15),
         jnp.maximum(1e-6, h0 * 1e-3),
-        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / (ERROR_ESTIMATOR_ORDER + 1)),
+        _powf(0.01 / jnp.maximum(d1, d2), 1.0 / (ERROR_ESTIMATOR_ORDER + 1)),
     )
     return jnp.minimum(jnp.minimum(100 * h0, h1), interval_length)
 
@@ -109,16 +133,19 @@ def rk_step(rhs, t, y, f, h):
     """One Dormand-Prince step; returns (y_new, f_new, K list of 7 stage derivatives)."""
     K = [f]
     for s in range(1, N_STAGES):
-        dy = _wsum(K, DP_A[s]) * h
+        dy = _stage_dot(K, DP_A[s], s) * h
         K.append(rhs(t + DP_C[s] * h, y + dy))
-    y_new = y + h * _wsum(K, DP_B)
+    y_new = y + h * _stage_dot(K, DP_B, 6)
     f_new = rhs(t + h, y_new)
     K.append(f_new)
     return y_new, f_new, K
 
 
 def dense_q(K) -> jax.Array:
-    """Dense-output coefficient matrix Q = K^T P, shape (n, 4)."""
+    """Dense-output coefficient matrix Q = K^T P, shape (n, 4).  Parity mode
+    issues numpy's dgemm for K.T.dot(P) (scipy RkDenseOutput construction)."""
+    if exact.enabled():
+        return exact.ktp(jnp.stack(K))
     cols = []
     for m in range(4):
         cols.append(_wsum(K, tuple(DP_P[j][m] for j in range(7))))
@@ -133,7 +160,11 @@ def dense_eval(t_old: jax.Array, h: jax.Array, y_old: jax.Array, Q: jax.Array, t
     p2 = p1 * x
     p3 = p2 * x
     p4 = p3 * x
-    y = h * (Q[:, 0] * p1 + Q[:, 1] * p2 + Q[:, 2] * p3 + Q[:, 3] * p4)
+    if exact.enabled():
+        # scipy: y = h * np.dot(Q, p) + y_old (numpy RowMajor gemv).
+        y = h * exact.dot_mv(Q, jnp.stack([p1, p2, p3, p4]))
+    else:
+        y = h * (Q[:, 0] * p1 + Q[:, 1] * p2 + Q[:, 2] * p3 + Q[:, 3] * p4)
     return y + y_old
 
 
@@ -301,16 +332,17 @@ def solve_step(
             h_abs_cur = jnp.abs(h)
             y_new, f_new, K = rk_step(rhs, t, y, f, h)
             scale = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
-            error = _wsum(K, DP_E) * h
+            error = _stage_dot(K, DP_E, 7) * h
             error_norm = _rms_norm(error / scale)
             ok = error_norm < 1
+            pow_err = _powf(error_norm, ERROR_EXPONENT)
             factor_ok = jnp.where(
                 error_norm == 0,
                 MAX_FACTOR,
-                jnp.minimum(MAX_FACTOR, SAFETY * error_norm ** ERROR_EXPONENT),
+                jnp.minimum(MAX_FACTOR, SAFETY * pow_err),
             )
             factor_ok = jnp.where(step_rejected, jnp.minimum(1.0, factor_ok), factor_ok)
-            factor_bad = jnp.maximum(MIN_FACTOR, SAFETY * error_norm ** ERROR_EXPONENT)
+            factor_bad = jnp.maximum(MIN_FACTOR, SAFETY * pow_err)
             h_abs_next = jnp.where(ok, h_abs_cur * factor_ok, h_abs_cur * factor_bad)
             accepted = ok & ~failed
             Kst = jnp.stack(K)

@@ -29,7 +29,9 @@ _build_error: Optional[str] = None
 def _build() -> Optional[str]:
     """Compile the shared library; returns an error string or None."""
     cmd = [
-        "g++", "-O2", "-ffp-contract=off", "-fPIC", "-shared",
+        # -fno-builtin-pow: gcc otherwise folds std::pow(x, 2.0) back into
+        # x*x, undoing the libm-pow parity semantics (numpy scalar ** 2).
+        "g++", "-O2", "-ffp-contract=off", "-fno-builtin-pow", "-fPIC", "-shared",
         "-o", _LIB, _SRC, "-ldl",
     ]
     try:

@@ -171,7 +171,10 @@ void rhs(const Model& m, const double* y, double* dy) {
     double dx = m.planets_pos[2 * i] - y[0];
     double dyp = m.planets_pos[2 * i + 1] - y[1];
     double dist = norm2d(dx, dyp);
-    double scalar = G * m.mass * m.planet_masses[i] / (dist * dist);
+    // dist**2 upstream is a numpy SCALAR power = libm pow(dist, 2.0), which
+    // differs from dist*dist by 1 ulp on some inputs (this was the cause of
+    // the Kepler ep1 t46 divergence chased in round 1).
+    double scalar = G * m.mass * m.planet_masses[i] / std::pow(dist, 2.0);
     fx += (dx / dist) * scalar;
     fy += (dyp / dist) * scalar;
   }
@@ -309,6 +312,42 @@ double select_initial_step(const Model& m, double t0, const double* y0, const do
 }  // namespace
 
 extern "C" {
+
+// Debug probes (parity triage): evaluate the RHS / initial-step heuristic in
+// isolation so divergences can be bisected against the numpy host path.
+void sgt_debug_rhs(const double* y, double engine_action, double thruster_action,
+                   const double* planets_pos, const double* planet_masses,
+                   const double* planet_radii, int n_planets, int steering,
+                   int f32_actions, double mass, double moi, double max_engine_force,
+                   double max_thruster_force, double* dy_out) {
+  Model m;
+  m.n_planets = n_planets; m.steering = steering; m.f32_actions = f32_actions;
+  m.mass = mass; m.moi = moi;
+  m.max_engine_force = max_engine_force; m.max_thruster_force = max_thruster_force;
+  m.world_half = 0; m.max_abs_vel_angle = 0;
+  m.planets_pos = planets_pos; m.planet_masses = planet_masses;
+  m.planet_radii = planet_radii;
+  m.engine_action = engine_action; m.thruster_action = thruster_action;
+  rhs(m, y, dy_out);
+}
+
+double sgt_debug_h0(const double* y, double engine_action, double thruster_action,
+                    const double* planets_pos, const double* planet_masses,
+                    const double* planet_radii, int n_planets, int steering,
+                    int f32_actions, double mass, double moi, double max_engine_force,
+                    double max_thruster_force, double t_bound) {
+  Model m;
+  m.n_planets = n_planets; m.steering = steering; m.f32_actions = f32_actions;
+  m.mass = mass; m.moi = moi;
+  m.max_engine_force = max_engine_force; m.max_thruster_force = max_thruster_force;
+  m.world_half = 0; m.max_abs_vel_angle = 0;
+  m.planets_pos = planets_pos; m.planet_masses = planet_masses;
+  m.planet_radii = planet_radii;
+  m.engine_action = engine_action; m.thruster_action = thruster_action;
+  double f0[NDIM];
+  rhs(m, y, f0);
+  return select_initial_step(m, 0.0, y, f0, t_bound, 1e-3, 1e-6);
+}
 
 // Load numpy's bundled OpenBLAS for bit-exact dot/gemv/gemm; 0 on success.
 int sgt_native_init(const char* openblas_path) {

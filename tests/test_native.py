@@ -37,9 +37,11 @@ def iter_golden_steps(env_id):
 
 @pytest.mark.parametrize("env_id", GOLDEN_IDS)
 def test_native_matches_host_per_step(env_id):
-    """>= 99% of golden steps bit-identical to the python/scipy path; the
-    rest within 1 ulp (a rare scalar-libm rounding difference — the strict
-    oracle remains physics='host')."""
+    """Every golden step bit-identical to the python/scipy host path.
+
+    (Round 1 carried a 1-ulp residue on Kepler ep1 t46; the cause was numpy
+    SCALAR dist**2 = libm pow(dist, 2.0) vs the compiled dist*dist — fixed by
+    std::pow + -fno-builtin-pow, see sgt_native.cpp rhs.)"""
     cfg = space_gym_tpu.get_config(env_id)
     exact = total = 0
     for y0, a, planets in iter_golden_steps(env_id):
@@ -47,11 +49,8 @@ def test_native_matches_host_per_step(env_id):
         yn, dn = native.solve_step_native(cfg, y0, a, planets)
         assert dh == dn
         total += 1
-        if np.array_equal(yh, yn):
-            exact += 1
-        else:
-            np.testing.assert_allclose(yn, yh, rtol=0, atol=4e-16)
-    assert exact / total >= 0.99, f"{exact}/{total}"
+        exact += int(np.array_equal(yh, yn))
+    assert exact == total, f"{exact}/{total}"
 
 
 def test_native_full_episode_bitwise_goal2p():
