@@ -351,7 +351,7 @@ class EnvEngine:
         angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
         vel = rs.normal(2).astype(dtype) * 0.07
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(rs.normal().astype(dtype) * max_w / 3, -max_w, max_w)
+        w = jnp.clip(exact.divc(rs.normal().astype(dtype) * max_w, 3), -max_w, max_w)
         y = jnp.concatenate([ship_pos, angle[None], vel, w[None]])
         return ts, y, planets, goal, jnp.zeros((3,), dtype)
 
@@ -376,7 +376,7 @@ class EnvEngine:
         ref = jnp.stack([orbit_angle, ecc, jnp.asarray(k.ref_orbit_a, dtype)])
         vel = rs.normal(2).astype(dtype) * 0.05
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(rs.normal().astype(dtype) * max_w / 5, -max_w, max_w)
+        w = jnp.clip(exact.divc(rs.normal().astype(dtype) * max_w, 5), -max_w, max_w)
         y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
         planets = jnp.asarray(cfg.fixed_planet_pos, dtype)
         return None, y, planets, jnp.zeros((2,), dtype), ref
@@ -394,7 +394,7 @@ class EnvEngine:
         ship_angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
         vel = rs.normal(2).astype(dtype) * 0.07
         max_w = 0.7 * cfg.max_abs_vel_angle
-        w = jnp.clip(rs.normal().astype(dtype) * max_w / 3, -max_w, max_w)
+        w = jnp.clip(exact.divc(rs.normal().astype(dtype) * max_w, 3), -max_w, max_w)
         y = jnp.concatenate([pos, ship_angle[None], vel, w[None]])
         planets = jnp.asarray(cfg.fixed_planet_pos, dtype)
         return None, y, planets, jnp.zeros((2,), dtype), jnp.zeros((3,), dtype)

@@ -1,16 +1,24 @@
 """Golden-trajectory parity vs the reference (recorded by tools/record_goldens.py).
 
-Two tiers:
+Three tiers:
 
 * host physics ("host"): full-episode replay must match the reference
   BITWISE — identical obs, reward, done, truncation, and internal state at
   every step.  This is the north-star metric of BASELINE.json.
 * device physics ("jax"): single-step replay from each golden pre-step state
-  must match within 1e-10 (the integrator agrees with scipy to 1-2 ulp per
-  step; full-episode bitwise equality is not defined for a different FP
-  backend because the dynamics are chaotic).
+  must match within 1e-10 in the DEFAULT build (XLA fuses mul+add into FMAs
+  and strength-reduces constant divisions; both are 1-ulp-per-op effects).
+* device engine, parity mode: full-episode FREE-RUNNING replay through the
+  vectorized EnvEngine (f64 adaptive physics) must match the reference
+  BITWISE at every step — obs, reward, done/truncated AND state — for all
+  7 IDs x both seed sets.  Runs in a subprocess because parity mode is
+  process-global (XLA_FLAGS=--xla_disable_hlo_passes=fusion,algsimp +
+  SGT_EXACT_MATH=1); see space_gym_tpu/parity/device_replay.py.
 """
+import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -102,3 +110,29 @@ def test_single_step_device_physics(env_id):
         max_state = max(max_state, np.max(np.abs(env._state_vec - g[p + "post_states"][t])))
     # representative tightness: device physics stays in the 1e-12 range per step
     assert max_state < 1e-10
+
+
+def test_full_episode_bitwise_device_engine():
+    """Device tier (the strong form of SURVEY.md §7 step 5): the vectorized
+    engine replays every recorded episode bit-for-bit — semantic MT19937
+    draws fed through the engine's RandSource slots, f64 adaptive RK45 with
+    event root-finding, on-device obs/reward/resample/TimeLimit."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_disable_hlo_passes=fusion,algsimp"
+    )
+    env["SGT_EXACT_MATH"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "space_gym_tpu.parity.device_replay"],
+        capture_output=True, text=True, timeout=1500, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == len(GOLDEN_CASES)
+    total = sum(l["steps"] for l in lines)
+    assert total > 2500
+    for l in lines:
+        assert l["bitwise"], l
