@@ -18,29 +18,57 @@ def rand_sources(key, batch, n=512, dtype=jnp.float64):
     return jax.random.uniform(key, (batch, n), dtype=dtype)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+GOLDEN_IDS = [
+    "GoalContinuous2P-v0",
+    "GoalContinuous3P-v0",
+    "GoalContinuous4P-v0",
+    "KeplerCircleOrbit-v0",
+    "KeplerEllipseEasy-v0",
+    "KeplerEllipseHard-v0",
+    "KeplerRandomOrbits-v0",
+]
 
 
-def golden(env_id):
-    return np.load(os.path.join(GOLDEN_DIR, f"{env_id}.npz"))
+def golden(env_id, subset=""):
+    return np.load(os.path.join(GOLDEN_DIR, subset, f"{env_id}.npz"))
 
 
-@pytest.mark.parametrize("env_id", ["GoalContinuous2P-v0", "KeplerEllipseEasy-v0"])
+_ENGINE_CACHE = {}
+
+
+def _golden_engine(env_id, physics):
+    """One engine (=> one jit cache) per (env_id, physics) across the whole
+    parametrized matrix — a fresh engine per test would recompile 28 times."""
+    key = (env_id, physics)
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = EnvEngine(
+            space_gym_tpu.get_config(env_id), physics=physics,
+            dtype=jnp.float64, substeps=4, f32_actions=True,
+        )
+        eng = _ENGINE_CACHE[key]
+        eng._jit_translate = jax.jit(eng._translate_action)
+        eng._jit_phys = jax.jit(eng._physics)
+    return _ENGINE_CACHE[key]
+
+
+@pytest.mark.parametrize("subset", ["", "seed7"])
+@pytest.mark.parametrize("env_id", GOLDEN_IDS)
 @pytest.mark.parametrize("physics", ["fixed", "adaptive"])
-def test_single_step_physics_vs_golden(env_id, physics):
-    """Replay each golden step through the engine's physics from the golden
-    pre-step state; the post state must match the reference trajectory.
+def test_single_step_physics_vs_golden(env_id, physics, subset):
+    """Replay golden steps through the engine's physics from the golden
+    pre-step state (all 7 constructible IDs x both seed sets); the post state
+    must match the reference trajectory.
 
-    Tolerances: "adaptive" is the scipy-twin (1e-10); "fixed" is a different
-    (tighter-tolerance) integrator, compared against the true dynamics rather
-    than scipy's rtol=1e-3 solution, so reference-vs-fixed differ by scipy's
-    own local error — atol 2e-4 on these trajectories.
+    Tolerances: "adaptive" is the scipy-twin (1e-10 in the default build;
+    bitwise in parity mode — see test_golden_parity's device tier); "fixed"
+    is a different (tighter-tolerance) integrator, compared against the true
+    dynamics rather than scipy's rtol=1e-3 solution, so reference-vs-fixed
+    differ by scipy's own local error — atol 2e-4 on these trajectories.
     """
-    g = golden(env_id)
-    cfg = space_gym_tpu.get_config(env_id)
-    eng = EnvEngine(cfg, physics=physics, dtype=jnp.float64, substeps=4, f32_actions=True)
-
-    translate = jax.jit(eng._translate_action)
-    phys = jax.jit(eng._physics)
+    g = golden(env_id, subset)
+    eng = _golden_engine(env_id, physics)
+    translate = eng._jit_translate
+    phys = eng._jit_phys
 
     atol = 1e-10 if physics == "adaptive" else 2e-4
     checked = 0
