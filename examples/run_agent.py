@@ -32,6 +32,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # The axon sitecustomize force-registers the TPU platform; honor a
+    # JAX_PLATFORMS=cpu request explicitly (replay is a host workload — the
+    # per-step tunnel round trips would dominate otherwise).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     import space_gym_tpu

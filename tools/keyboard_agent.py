@@ -16,9 +16,15 @@ and still prints the episode-return statistics.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import space_gym_tpu
 
