@@ -1,0 +1,734 @@
+"""Fused SAC update: the K-minibatch learner phase as ONE Pallas TPU kernel.
+
+Motivation (VERDICT r1 item 2): profiling showed `SACTrainer._train_iter` is
+~90% update math — each XLA update re-streams every (batch, 256) activation
+through HBM, leaving the flagship config at ~0.5M env-steps/s while the bare
+env does 80M.  The fused kernel keeps ALL parameters + Adam state + targets
+resident in VMEM for the whole K-update loop and streams only the minibatch
+tiles, so per-update HBM traffic drops from ~250 MB to ~2 MB.
+
+Structure: grid (K, 2, T) — for each minibatch k, phase 0 accumulates critic
+gradients over T batch tiles and applies Adam + the polyak target update on
+the last tile; phase 1 accumulates actor gradients (against the *updated*
+critic, SAC ordering) and applies the actor Adam + temperature update.  This
+reproduces models/sac.py::_update_once semantically (same losses, same Adam,
+same polyak), with sampling noise passed in as explicit normals.
+
+Layout: first-layer inputs are padded to IN1=128 columns (obs | action | 0);
+hidden width 256; the actor's two heads are one (256, 4) matrix
+[mean(2) | log_std(2)].  Padded weight rows start at zero and receive zero
+gradients, so they stay zero — padding never leaks into the math.
+
+`update_k_reference` is the pure-jax twin (autodiff) used by the tests to
+validate the hand-written backward; `fused_update_k` is the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+IN1 = 128     # padded first-layer input width (obs | action | zeros)
+H = 256       # hidden width (flagship SB3-default 2x256 MLPs)
+NHEAD = 4     # actor head columns: [mean(2) | log_std(2)]
+LOG_STD_MIN = -20.0
+LOG_STD_MAX = 2.0
+B1, B2, EPS = 0.9, 0.999, 1e-8  # optax.adam defaults (eps_root=0)
+LOG2PI = 1.8378770664093453  # log(2*pi)
+LOG2 = 0.6931471805599453
+
+
+class PackedParams(NamedTuple):
+    """SAC learner state in kernel layout (all f32)."""
+
+    a_w1: jax.Array   # (IN1, H)
+    a_b1: jax.Array   # (H,)
+    a_w2: jax.Array   # (H, H)
+    a_b2: jax.Array   # (H,)
+    a_wh: jax.Array   # (H, NHEAD)
+    a_bh: jax.Array   # (NHEAD,)
+    c_w1: jax.Array   # (2, IN1, H)
+    c_b1: jax.Array   # (2, H)
+    c_w2: jax.Array   # (2, H, H)
+    c_b2: jax.Array   # (2, H)
+    c_w3: jax.Array   # (2, H)
+    c_b3: jax.Array   # (2,)
+    t_w1: jax.Array
+    t_b1: jax.Array
+    t_w2: jax.Array
+    t_b2: jax.Array
+    t_w3: jax.Array
+    t_b3: jax.Array
+    log_alpha: jax.Array  # ()
+
+
+ACTOR_FIELDS = ("a_w1", "a_b1", "a_w2", "a_b2", "a_wh", "a_bh")
+CRITIC_FIELDS = ("c_w1", "c_b1", "c_w2", "c_b2", "c_w3", "c_b3")
+TARGET_FIELDS = ("t_w1", "t_b1", "t_w2", "t_b2", "t_w3", "t_b3")
+
+
+class PackedAdam(NamedTuple):
+    """First/second moments for actor group, critic group and log_alpha,
+    plus the shared step count (optax adam count equivalent)."""
+
+    m: PackedParams   # moments for actor+critic fields (targets unused=0)
+    v: PackedParams
+    count: jax.Array  # () int32
+
+
+# ------------------------------------------------------------- flax <-> pack --
+
+def _actor_leaves(actor_params):
+    p = actor_params["params"]
+    mlp = p["MLP_0"]
+    return (
+        mlp["Dense_0"]["kernel"], mlp["Dense_0"]["bias"],
+        mlp["Dense_1"]["kernel"], mlp["Dense_1"]["bias"],
+        p["Dense_0"]["kernel"], p["Dense_0"]["bias"],   # mean head
+        p["Dense_1"]["kernel"], p["Dense_1"]["bias"],   # log_std head
+    )
+
+
+def _critic_leaves(critic_params):
+    p = critic_params["params"]
+    out = []
+    for i in (0, 1):
+        mlp = p[f"MLP_{i}"]
+        out.append((
+            mlp["Dense_0"]["kernel"], mlp["Dense_0"]["bias"],
+            mlp["Dense_1"]["kernel"], mlp["Dense_1"]["bias"],
+            mlp["Dense_2"]["kernel"], mlp["Dense_2"]["bias"],
+        ))
+    return out
+
+
+def pack_params(actor_params, critic_params, target_params, log_alpha) -> PackedParams:
+    aw1, ab1, aw2, ab2, awm, abm, aws, abs_ = _actor_leaves(actor_params)
+    d = aw1.shape[0]
+
+    def pad1(w):
+        return jnp.zeros((IN1, H), jnp.float32).at[: w.shape[0]].set(w)
+
+    def pack_critic(leaves):
+        (w1a, b1a, w2a, b2a, w3a, b3a), (w1b, b1b, w2b, b2b, w3b, b3b) = leaves
+        return (
+            jnp.stack([pad1(w1a), pad1(w1b)]),
+            jnp.stack([b1a, b1b]),
+            jnp.stack([w2a, w2b]),
+            jnp.stack([b2a, b2b]),
+            jnp.stack([w3a[:, 0], w3b[:, 0]]),
+            jnp.stack([b3a[0], b3b[0]]),
+        )
+
+    cw1, cb1, cw2, cb2, cw3, cb3 = pack_critic(_critic_leaves(critic_params))
+    tw1, tb1, tw2, tb2, tw3, tb3 = pack_critic(_critic_leaves(target_params))
+    return PackedParams(
+        a_w1=pad1(aw1), a_b1=ab1, a_w2=aw2, a_b2=ab2,
+        a_wh=jnp.concatenate([awm, aws], axis=1), a_bh=jnp.concatenate([abm, abs_]),
+        c_w1=cw1, c_b1=cb1, c_w2=cw2, c_b2=cb2, c_w3=cw3, c_b3=cb3,
+        t_w1=tw1, t_b1=tb1, t_w2=tw2, t_b2=tb2, t_w3=tw3, t_b3=tb3,
+        log_alpha=jnp.asarray(log_alpha, jnp.float32),
+    )
+
+
+def unpack_params(packed: PackedParams, actor_tpl, critic_tpl):
+    """Back to flax trees (slicing away the padding)."""
+    d_a = actor_tpl["params"]["MLP_0"]["Dense_0"]["kernel"].shape[0]
+    d_c = critic_tpl["params"]["MLP_0"]["Dense_0"]["kernel"].shape[0]
+    adim = actor_tpl["params"]["Dense_0"]["kernel"].shape[1]
+
+    actor = {"params": {
+        "MLP_0": {
+            "Dense_0": {"kernel": packed.a_w1[:d_a], "bias": packed.a_b1},
+            "Dense_1": {"kernel": packed.a_w2, "bias": packed.a_b2},
+        },
+        "Dense_0": {"kernel": packed.a_wh[:, :adim], "bias": packed.a_bh[:adim]},
+        "Dense_1": {"kernel": packed.a_wh[:, adim:], "bias": packed.a_bh[adim:]},
+    }}
+
+    def unpack_critic(w1, b1, w2, b2, w3, b3):
+        return {"params": {
+            f"MLP_{i}": {
+                "Dense_0": {"kernel": w1[i, :d_c], "bias": b1[i]},
+                "Dense_1": {"kernel": w2[i], "bias": b2[i]},
+                "Dense_2": {"kernel": w3[i][:, None], "bias": b3[i][None]},
+            }
+            for i in (0, 1)
+        }}
+
+    critic = unpack_critic(packed.c_w1, packed.c_b1, packed.c_w2, packed.c_b2,
+                           packed.c_w3, packed.c_b3)
+    target = unpack_critic(packed.t_w1, packed.t_b1, packed.t_w2, packed.t_b2,
+                           packed.t_w3, packed.t_b3)
+    return actor, critic, target, packed.log_alpha
+
+
+# ------------------------------------------------------ pure-jax reference --
+
+def _actor_fwd(p: PackedParams, x):
+    """x: (B, IN1) padded obs.  Returns (mean, log_std_raw, h2, z1, z2)."""
+    z1 = x @ p.a_w1 + p.a_b1
+    h1 = jnp.maximum(z1, 0.0)
+    z2 = h1 @ p.a_w2 + p.a_b2
+    h2 = jnp.maximum(z2, 0.0)
+    head = h2 @ p.a_wh + p.a_bh
+    return head[:, :2], head[:, 2:], h2, z1, z2
+
+
+def _critic_fwd(w1, b1, w2, b2, w3, b3, x):
+    """One critic on (B, IN1) inputs -> q (B,)."""
+    z1 = x @ w1 + b1
+    h1 = jnp.maximum(z1, 0.0)
+    z2 = h1 @ w2 + b2
+    h2 = jnp.maximum(z2, 0.0)
+    return h2 @ w3 + b3, h1, h2, z1, z2
+
+
+def _sample(mean, log_std_raw, noise):
+    log_std = jnp.clip(log_std_raw, LOG_STD_MIN, LOG_STD_MAX)
+    std = jnp.exp(log_std)
+    pre = mean + std * noise
+    a = jnp.tanh(pre)
+    logp = -0.5 * (noise**2 + 2 * log_std + LOG2PI)
+    logp = logp - 2 * (LOG2 - pre - jax.nn.softplus(-2 * pre))
+    return a, logp.sum(-1), pre
+
+
+def _pad_x(obs, act, obs_dim):
+    b = obs.shape[0]
+    x = jnp.zeros((b, IN1), jnp.float32)
+    x = x.at[:, :obs_dim].set(obs[:, :obs_dim])
+    if act is not None:
+        x = x.at[:, obs_dim : obs_dim + act.shape[1]].set(act)
+    return x
+
+
+def _adam(g, m, v, lr, t):
+    m = B1 * m + (1 - B1) * g
+    v = B2 * v + (1 - B2) * g * g
+    mhat = m / (1 - B1**t)
+    vhat = v / (1 - B2**t)
+    return -lr * mhat / (jnp.sqrt(vhat) + EPS), m, v
+
+
+def update_k_reference(packed: PackedParams, adam: PackedAdam, batches, noises,
+                       obs_dim: int, gamma: float, tau: float, lr: float,
+                       target_entropy: float, alpha_floor: float = 0.0):
+    """K sequential SAC updates in plain jax (autodiff) on the packed layout —
+    the oracle for the Pallas kernel.  batches: Transition with leading (K, B);
+    noises: (K, B, 2, 2) normals [0]=critic next-action, [1]=actor action."""
+
+    def one(carry, inp):
+        p, ad = carry
+        batch, noise = inp
+        t = (ad.count + 1).astype(jnp.float32)
+        alpha = jnp.exp(p.log_alpha)
+        obs = _pad_x(batch.obs, batch.action, obs_dim)
+        obs_only = _pad_x(batch.obs, None, obs_dim)
+        nobs_only = _pad_x(batch.next_obs, None, obs_dim)
+
+        # -- critic loss --
+        mean, lsr, _, _, _ = _actor_fwd(p, nobs_only)
+        na, nlogp, _ = _sample(mean, lsr, noise[:, 0])
+        nx = _pad_x(batch.next_obs, na, obs_dim)
+        q1t = _critic_fwd(p.t_w1[0], p.t_b1[0], p.t_w2[0], p.t_b2[0], p.t_w3[0], p.t_b3[0], nx)[0]
+        q2t = _critic_fwd(p.t_w1[1], p.t_b1[1], p.t_w2[1], p.t_b2[1], p.t_w3[1], p.t_b3[1], nx)[0]
+        tq = batch.reward + gamma * batch.discount * (
+            jnp.minimum(q1t, q2t) - alpha * nlogp
+        )
+        tq = jax.lax.stop_gradient(tq)
+
+        def closs(cw):
+            w1, b1, w2, b2, w3, b3 = cw
+            q1 = _critic_fwd(w1[0], b1[0], w2[0], b2[0], w3[0], b3[0], obs)[0]
+            q2 = _critic_fwd(w1[1], b1[1], w2[1], b2[1], w3[1], b3[1], obs)[0]
+            return ((q1 - tq) ** 2 + (q2 - tq) ** 2).mean()
+
+        cw = tuple(getattr(p, f) for f in CRITIC_FIELDS)
+        closs_val, cg = jax.value_and_grad(closs)(cw)
+        new_c = []
+        new_m, new_v = dict(ad.m._asdict()), dict(ad.v._asdict())
+        for f, g in zip(CRITIC_FIELDS, cg):
+            upd, m_, v_ = _adam(g, getattr(ad.m, f), getattr(ad.v, f), lr, t)
+            new_c.append(getattr(p, f) + upd)
+            new_m[f], new_v[f] = m_, v_
+        p = p._replace(**dict(zip(CRITIC_FIELDS, new_c)))
+
+        # -- actor loss (uses updated critic) --
+        def aloss(aw):
+            p2 = p._replace(**dict(zip(ACTOR_FIELDS, aw)))
+            mean, lsr, _, _, _ = _actor_fwd(p2, obs_only)
+            a, logp, _ = _sample(mean, lsr, noise[:, 1])
+            ax = _pad_x(batch.obs, a, obs_dim)
+            q1 = _critic_fwd(p.c_w1[0], p.c_b1[0], p.c_w2[0], p.c_b2[0], p.c_w3[0], p.c_b3[0], ax)[0]
+            q2 = _critic_fwd(p.c_w1[1], p.c_b1[1], p.c_w2[1], p.c_b2[1], p.c_w3[1], p.c_b3[1], ax)[0]
+            return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
+
+        aw = tuple(getattr(p, f) for f in ACTOR_FIELDS)
+        (aloss_val, logp), ag = jax.value_and_grad(aloss, has_aux=True)(aw)
+        new_a = []
+        for f, g in zip(ACTOR_FIELDS, ag):
+            upd, m_, v_ = _adam(g, getattr(ad.m, f), getattr(ad.v, f), lr, t)
+            new_a.append(getattr(p, f) + upd)
+            new_m[f], new_v[f] = m_, v_
+        p = p._replace(**dict(zip(ACTOR_FIELDS, new_a)))
+
+        # -- temperature --
+        g_la = -(jnp.mean(logp) + target_entropy)
+        upd, m_, v_ = _adam(g_la, ad.m.log_alpha, ad.v.log_alpha, lr, t)
+        la = p.log_alpha + upd
+        if alpha_floor > 0:
+            la = jnp.maximum(la, jnp.log(alpha_floor))
+        new_m["log_alpha"], new_v["log_alpha"] = m_, v_
+        p = p._replace(log_alpha=la)
+
+        # -- polyak (after critic update, like _update_once) --
+        new_t = {
+            tf: getattr(p, tf) * (1 - tau) + getattr(p, cf) * tau
+            for tf, cf in zip(TARGET_FIELDS, CRITIC_FIELDS)
+        }
+        p = p._replace(**new_t)
+        ad = PackedAdam(
+            m=PackedParams(**new_m), v=PackedParams(**new_v), count=ad.count + 1
+        )
+        return (p, ad), (closs_val, aloss_val)
+
+    (p, ad), (closs, aloss) = jax.lax.scan(one, (packed, adam), (batches, noises))
+    return p, ad, closs, aloss
+
+
+def adam_init(packed: PackedParams) -> PackedAdam:
+    zeros = PackedParams(*[jnp.zeros_like(x) for x in packed])
+    return PackedAdam(m=zeros, v=zeros, count=jnp.asarray(0, jnp.int32))
+
+
+# ---------------------------------------------------------- Pallas kernel --
+#
+# All weights live in TWO VMEM-resident matrices for the whole K-update loop
+# (in-place via input_output_aliases):
+#
+#   WMAT (1928, 256): [actor w1 | actor w2 | c0 w1 | c0 w2 | c1 w1 | c1 w2 |
+#                      t0 w1 | t0 w2 | t1 w1 | t1 w2 | actor head^T (4) | pad]
+#   VEC  (16, 256):   row 0 a_b1, 1 a_b2, 2-3 c_b1, 4-5 c_b2, 6-7 t_b1,
+#                     8-9 t_b2, 10-11 c_w3, 12-13 t_w3,
+#                     14 misc [a_bh(0:4) | c_b3(4:6) | t_b3(6:8) | log_alpha(8)]
+#
+# Adam moments MW/VW and MVEC/VVEC mirror the same layout (target rows unused).
+
+R_AW1 = 0
+R_AW2 = R_AW1 + IN1
+R_CW1 = (R_AW2 + H, R_AW2 + H + IN1 + H)            # per critic
+R_TW1 = (R_CW1[1] + IN1 + H, R_CW1[1] + 2 * (IN1 + H))
+R_AWH = R_TW1[1] + IN1 + H                           # 4 rows of head^T
+WROWS = 1928                                         # R_AWH+4 = 1924, pad to 8
+V_AB1, V_AB2 = 0, 1
+V_CB1, V_CB2 = (2, 3), (4, 5)
+V_TB1, V_TB2 = (6, 7), (8, 9)
+V_CW3, V_TW3 = (10, 11), (12, 13)
+V_MISC = 14
+VROWS = 16
+# grad scratch: same row layout as WMAT for rows 0..R_TW1[0] (trainable actor
+# + critic weights), with the actor head remapped to follow (target rows
+# never receive gradients and are not allocated).
+G_AWH = R_TW1[0]
+GROWS = G_AWH + NHEAD + 4          # 1160 (8-aligned)
+# misc-row column spans
+M_ABH = (0, NHEAD)
+M_CB3 = (NHEAD, NHEAD + 2)
+M_TB3 = (NHEAD + 2, NHEAD + 4)
+M_LA = NHEAD + 4
+# scalar-vector layout (SMEM input, shape (1, 8))
+S_GAMMA, S_TAU, S_LR, S_TE, S_COUNT0, S_LOGFLOOR, S_INVB, S_ALOSS0 = range(8)
+
+
+def pack_wmat(p: PackedParams):
+    w = jnp.zeros((WROWS, H), jnp.float32)
+    w = w.at[R_AW1:R_AW1 + IN1].set(p.a_w1)
+    w = w.at[R_AW2:R_AW2 + H].set(p.a_w2)
+    for c in (0, 1):
+        w = w.at[R_CW1[c]:R_CW1[c] + IN1].set(p.c_w1[c])
+        w = w.at[R_CW1[c] + IN1:R_CW1[c] + IN1 + H].set(p.c_w2[c])
+        w = w.at[R_TW1[c]:R_TW1[c] + IN1].set(p.t_w1[c])
+        w = w.at[R_TW1[c] + IN1:R_TW1[c] + IN1 + H].set(p.t_w2[c])
+    w = w.at[R_AWH:R_AWH + NHEAD].set(p.a_wh.T)
+    v = jnp.zeros((VROWS, H), jnp.float32)
+    v = v.at[V_AB1].set(p.a_b1).at[V_AB2].set(p.a_b2)
+    for c in (0, 1):
+        v = v.at[V_CB1[c]].set(p.c_b1[c]).at[V_CB2[c]].set(p.c_b2[c])
+        v = v.at[V_TB1[c]].set(p.t_b1[c]).at[V_TB2[c]].set(p.t_b2[c])
+        v = v.at[V_CW3[c]].set(p.c_w3[c]).at[V_TW3[c]].set(p.t_w3[c])
+    misc = jnp.zeros((H,), jnp.float32)
+    misc = misc.at[M_ABH[0]:M_ABH[1]].set(p.a_bh)
+    misc = misc.at[M_CB3[0]:M_CB3[1]].set(p.c_b3)
+    misc = misc.at[M_TB3[0]:M_TB3[1]].set(p.t_b3)
+    misc = misc.at[M_LA].set(p.log_alpha)
+    v = v.at[V_MISC].set(misc)
+    return w, v
+
+
+def unpack_wmat(w, v) -> PackedParams:
+    misc = v[V_MISC]
+    return PackedParams(
+        a_w1=w[R_AW1:R_AW1 + IN1], a_b1=v[V_AB1],
+        a_w2=w[R_AW2:R_AW2 + H], a_b2=v[V_AB2],
+        a_wh=w[R_AWH:R_AWH + NHEAD].T, a_bh=misc[M_ABH[0]:M_ABH[1]],
+        c_w1=jnp.stack([w[R_CW1[c]:R_CW1[c] + IN1] for c in (0, 1)]),
+        c_b1=jnp.stack([v[V_CB1[c]] for c in (0, 1)]),
+        c_w2=jnp.stack([w[R_CW1[c] + IN1:R_CW1[c] + IN1 + H] for c in (0, 1)]),
+        c_b2=jnp.stack([v[V_CB2[c]] for c in (0, 1)]),
+        c_w3=jnp.stack([v[V_CW3[c]] for c in (0, 1)]),
+        c_b3=misc[M_CB3[0]:M_CB3[1]],
+        t_w1=jnp.stack([w[R_TW1[c]:R_TW1[c] + IN1] for c in (0, 1)]),
+        t_b1=jnp.stack([v[V_TB1[c]] for c in (0, 1)]),
+        t_w2=jnp.stack([w[R_TW1[c] + IN1:R_TW1[c] + IN1 + H] for c in (0, 1)]),
+        t_b2=jnp.stack([v[V_TB2[c]] for c in (0, 1)]),
+        t_w3=jnp.stack([v[V_TW3[c]] for c in (0, 1)]),
+        t_b3=misc[M_TB3[0]:M_TB3[1]],
+        log_alpha=misc[M_LA],
+    )
+
+
+def _dot(a, b, mm_dtype=None):
+    if mm_dtype is not None:
+        a, b = a.astype(mm_dtype), b.astype(mm_dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dg(a, b, ca, cb, mm_dtype=None):
+    """dot_general contracting a-dim `ca` with b-dim `cb`."""
+    if mm_dtype is not None:
+        a, b = a.astype(mm_dtype), b.astype(mm_dtype)
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
+                 mm_bf16: bool = True):
+    """Kernel body for grid (K, 2, T).  Phase 0: critic grads + Adam +
+    polyak; phase 1: actor grads + Adam + temperature."""
+
+    def kernel(scal, xsa, xs, nxs, rew, disc, noise,
+               _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
+               w_ref, vec_ref, mw_ref, vw_ref, mvec_ref, vvec_ref,
+               losses_ref, gw, gvec, acc):
+        # The six *_in refs alias the six *_ref outputs (input_output_aliases)
+        # — same memory; all reads/writes go through the output refs.
+        mmd = jnp.bfloat16 if mm_bf16 else None
+        dot = lambda a, b: _dot(a, b, mm_dtype=mmd)
+        dg = lambda a, b, ca, cb: _dg(a, b, ca, cb, mm_dtype=mmd)
+        ph = pl.program_id(1)
+        t = pl.program_id(2)
+        kf = pl.program_id(0).astype(jnp.float32)
+
+        gamma, tau, lr = scal[0, S_GAMMA], scal[0, S_TAU], scal[0, S_LR]
+        te, invb = scal[0, S_TE], scal[0, S_INVB]
+        tstep = scal[0, S_COUNT0] + kf + 1.0
+        # b**t via exp(t*log b): Mosaic has no powf lowering
+        bc1 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B1)))
+        bc2 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B2)))
+
+        @pl.when(t == 0)
+        def _zero():
+            gw[:] = jnp.zeros_like(gw)
+            gvec[:] = jnp.zeros_like(gvec)
+            acc[0] = 0.0  # loss accumulator
+            acc[1] = 0.0  # logp-sum accumulator (actor phase)
+
+        la = vec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1]      # (1, 1)
+        alpha = jnp.exp(la)                                  # (1, 1)
+
+        def actor_fwd(x):
+            z1 = dot(x, w_ref[R_AW1:R_AW1 + IN1]) + vec_ref[V_AB1:V_AB1 + 1, :]
+            h1 = jnp.maximum(z1, 0.0)
+            z2 = dot(h1, w_ref[R_AW2:R_AW2 + H]) + vec_ref[V_AB2:V_AB2 + 1, :]
+            h2 = jnp.maximum(z2, 0.0)
+            head = dg(h2, w_ref[R_AWH:R_AWH + NHEAD], 1, 1)  # (BT, 4)
+            head = head + vec_ref[V_MISC:V_MISC + 1, :NHEAD]
+            return head[:, :2], head[:, 2:NHEAD], z1, h1, z2, h2
+
+        def critic_fwd(x, act, r0, vb1, vb2, vw3, b3col):
+            # First-layer input is [obs | action]; when the action comes from
+            # the policy (act is not None) it enters via a separate tiny
+            # matmul against the action rows of W1 instead of materializing
+            # the concatenated input (saves the concat + keeps x a bf16 ref).
+            z1 = dot(x, w_ref[r0:r0 + IN1]) + vec_ref[vb1:vb1 + 1, :]
+            if act is not None:
+                z1 = z1 + _dg(act, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 1, 0)
+            h1 = jnp.maximum(z1, 0.0)
+            z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
+            h2 = jnp.maximum(z2, 0.0)
+            q = jnp.sum(h2 * vec_ref[vw3:vw3 + 1, :], axis=1, keepdims=True)
+            return q + vec_ref[V_MISC:V_MISC + 1, b3col:b3col + 1], z1, h1, z2, h2
+
+        def sample(mean, lsr, eps):
+            ls = jnp.clip(lsr, LOG_STD_MIN, LOG_STD_MAX)
+            std = jnp.exp(ls)
+            pre = mean + std * eps
+            a = jnp.tanh(pre)
+            lp = -0.5 * (eps * eps + 2 * ls + LOG2PI)
+            lp = lp - 2 * (LOG2 - pre - jax.nn.softplus(-2 * pre))
+            return a, jnp.sum(lp, axis=1, keepdims=True), pre, ls, std
+
+        # ---------------------------------------------------- phase 0: critic
+        @pl.when(ph == 0)
+        def _critic_phase():
+            x_sa = xsa[0]
+            x_n = nxs[0]
+            r = rew[0]
+            d = disc[0]
+            eps_c = noise[0][:, 0:2]
+
+            mean, lsr, *_ = actor_fwd(x_n)
+            na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
+            q1t, *_ = critic_fwd(x_n, na, R_TW1[0], V_TB1[0], V_TB2[0], V_TW3[0], M_TB3[0])
+            q2t, *_ = critic_fwd(x_n, na, R_TW1[1], V_TB1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
+            tq = r + gamma * d * (jnp.minimum(q1t, q2t) - alpha * nlogp)
+
+            loss = 0.0
+            for c in (0, 1):
+                q, z1, h1, z2, h2 = critic_fwd(
+                    x_sa, None, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                dq = 2.0 * (q - tq) * invb                      # (BT, 1)
+                loss = loss + jnp.sum((q - tq) ** 2) * invb
+                gvec[V_CW3[c]:V_CW3[c] + 1, :] += jnp.sum(h2 * dq, axis=0, keepdims=True)
+                gvec[V_MISC:V_MISC + 1, M_CB3[0] + c:M_CB3[0] + c + 1] += jnp.sum(dq)[None, None]
+                dh2 = dq * vec_ref[V_CW3[c]:V_CW3[c] + 1, :]
+                dz2 = jnp.where(z2 > 0, dh2, 0.0)
+                gw[R_CW1[c] + IN1:R_CW1[c] + IN1 + H, :] += dg(h1, dz2, 0, 0)
+                gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
+                dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
+                dz1 = jnp.where(z1 > 0, dh1, 0.0)
+                gw[R_CW1[c]:R_CW1[c] + IN1, :] += dg(x_sa, dz1, 0, 0)
+                gvec[V_CB1[c]:V_CB1[c] + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+            acc[0] += loss
+
+            @pl.when(t == n_tiles - 1)
+            def _apply_critic():
+                def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
+                    glo = lo if glo is None else glo
+                    g = ref_g[glo:glo + (hi - lo), :]
+                    m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
+                    v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
+                    ref_m[lo:hi, :] = m
+                    ref_v[lo:hi, :] = v
+                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - lr * (m / bc1) / (
+                        jnp.sqrt(v / bc2) + EPS)
+
+                adam_rows(w_ref, mw_ref, vw_ref, gw, R_CW1[0], R_CW1[1] + IN1 + H)
+                adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_CB1[0], V_CW3[1] + 1)
+                # misc-row c_b3 columns
+                g = gvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
+                m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B1) * g
+                v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B2) * g * g
+                mvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = m
+                vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = v
+                vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = (
+                    vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
+                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS))
+                # polyak: target <- (1-tau) target + tau critic
+                w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :] = (
+                    (1 - tau) * w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :]
+                    + tau * w_ref[R_CW1[0]:R_CW1[1] + IN1 + H, :])
+                vec_ref[V_TB1[0]:V_TB2[1] + 1, :] = (
+                    (1 - tau) * vec_ref[V_TB1[0]:V_TB2[1] + 1, :]
+                    + tau * vec_ref[V_CB1[0]:V_CB2[1] + 1, :])
+                vec_ref[V_TW3[0]:V_TW3[1] + 1, :] = (
+                    (1 - tau) * vec_ref[V_TW3[0]:V_TW3[1] + 1, :]
+                    + tau * vec_ref[V_CW3[0]:V_CW3[1] + 1, :])
+                vec_ref[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]] = (
+                    (1 - tau) * vec_ref[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]]
+                    + tau * vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]])
+                losses_ref[0, 0:1, 0:1] = jnp.full((1, 1), acc[0])
+
+        # ----------------------------------------------------- phase 1: actor
+        @pl.when(ph == 1)
+        def _actor_phase():
+            x_o = xs[0]
+            eps_a = noise[0][:, 2:NHEAD]
+
+            mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(x_o)
+            a, logp, pre, ls, std = sample(mean, lsr, eps_a)
+
+            qs, caches = [], []
+            for c in (0, 1):
+                q, z1, h1, z2, h2 = critic_fwd(
+                    x_o, a, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                qs.append(q)
+                caches.append((z1, h1, z2, h2))
+            minq = jnp.minimum(qs[0], qs[1])
+            pick0 = (qs[0] <= qs[1]).astype(jnp.float32)
+            acc[0] += jnp.sum(alpha * logp - minq) * invb
+            acc[1] += jnp.sum(logp)
+
+            # dL/da through the min critic's input columns
+            da = jnp.zeros_like(a)
+            for c in (0, 1):
+                z1, h1, z2, h2 = caches[c]
+                sel = pick0 if c == 0 else (1.0 - pick0)
+                dq = -invb * sel                                 # (BT, 1)
+                dh2 = dq * vec_ref[V_CW3[c]:V_CW3[c] + 1, :]
+                dz2 = jnp.where(z2 > 0, dh2, 0.0)
+                dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
+                dz1 = jnp.where(z1 > 0, dh1, 0.0)
+                # only the ACTION columns of the input gradient are needed:
+                # da = dz1 @ W1[action rows]^T, a (BT,2) = (BT,H) @ (H,2)
+                da = da + dg(dz1, w_ref[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2], 1, 1)
+
+            dlogp = alpha * invb                                 # scalar
+            sig = jax.nn.sigmoid(-2.0 * pre)
+            dpre = da * (1.0 - jnp.tanh(pre) ** 2) + dlogp * (2.0 - 4.0 * sig)
+            dmean = dpre
+            clipmask = ((lsr > LOG_STD_MIN) & (lsr < LOG_STD_MAX)).astype(jnp.float32)
+            dlsr = (dpre * std * eps_a - dlogp) * clipmask
+            ghead = jnp.concatenate([dmean, dlsr], axis=1)       # (BT, 4)
+
+            gw[G_AWH:G_AWH + NHEAD, :] += dg(ghead, h2a, 0, 0)
+            gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] += jnp.sum(ghead, axis=0, keepdims=True)
+            dh2 = dg(ghead, w_ref[R_AWH:R_AWH + NHEAD], 1, 0)
+            dz2 = jnp.where(z2a > 0, dh2, 0.0)
+            gw[R_AW2:R_AW2 + H, :] += dg(h1a, dz2, 0, 0)
+            gvec[V_AB2:V_AB2 + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
+            dh1 = dg(dz2, w_ref[R_AW2:R_AW2 + H], 1, 1)
+            dz1 = jnp.where(z1a > 0, dh1, 0.0)
+            gw[R_AW1:R_AW1 + IN1, :] += dg(x_o, dz1, 0, 0)
+            gvec[V_AB1:V_AB1 + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+
+            @pl.when(t == n_tiles - 1)
+            def _apply_actor():
+                def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
+                    glo = lo if glo is None else glo
+                    g = ref_g[glo:glo + (hi - lo), :]
+                    m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
+                    v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
+                    ref_m[lo:hi, :] = m
+                    ref_v[lo:hi, :] = v
+                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - lr * (m / bc1) / (
+                        jnp.sqrt(v / bc2) + EPS)
+
+                adam_rows(w_ref, mw_ref, vw_ref, gw, R_AW1, R_AW2 + H)
+                adam_rows(w_ref, mw_ref, vw_ref, gw, R_AWH, R_AWH + NHEAD,
+                          glo=G_AWH)
+                adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_AB1, V_AB2 + 1)
+                # a_bh columns of the misc row
+                g = gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
+                m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B1) * g
+                v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B2) * g * g
+                mvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = m
+                vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = v
+                vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = (
+                    vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
+                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS))
+                # temperature
+                g_la = jnp.full((1, 1), -(acc[1] * invb + te))
+                m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B1) * g_la
+                v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B2) * g_la * g_la
+                mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = m
+                vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = v
+                new_la = la - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS)
+                if alpha_floor > 0:
+                    new_la = jnp.maximum(new_la, scal[0, S_LOGFLOOR])
+                vec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = new_la
+                losses_ref[0, 0:1, 1:2] = jnp.full((1, 1), acc[0])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("obs_dim", "gamma", "tau", "lr", "target_entropy",
+                     "alpha_floor", "block", "interpret", "mm_bf16"),
+)
+def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
+                   obs_dim: int, gamma: float, tau: float, lr: float,
+                   target_entropy: float, alpha_floor: float = 0.0,
+                   block: int = 512, interpret: bool = False,
+                   mm_bf16: bool = True):
+    """K sequential SAC updates in one Pallas kernel launch.
+
+    batches: Transition with leading (K, B); noises: (K, B, 2, 2) as in
+    update_k_reference.  Returns (packed', adam', critic_losses (K,),
+    actor_losses (K,))."""
+    K, B = batches.reward.shape
+    bt = min(block, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by block {bt}")
+    n_tiles = B // bt
+
+    f32 = jnp.float32
+    zpad = jnp.zeros((K, B, IN1 - obs_dim - 2), f32)
+    obs = batches.obs.astype(f32)[..., :obs_dim]
+    xsa = jnp.concatenate([obs, batches.action.astype(f32), zpad], axis=-1)
+    zact = jnp.zeros((K, B, 2), f32)
+    xs = jnp.concatenate([obs, zact, zpad], axis=-1)
+    nxs = jnp.concatenate(
+        [batches.next_obs.astype(f32)[..., :obs_dim], zact, zpad], axis=-1)
+    xdt = jnp.bfloat16 if mm_bf16 else f32
+    xsa, xs, nxs = xsa.astype(xdt), xs.astype(xdt), nxs.astype(xdt)
+    rew = batches.reward.astype(f32)[..., None]
+    disc = batches.discount.astype(f32)[..., None]
+    noise = noises.astype(f32).reshape(K, B, 4)
+
+    w, vec = pack_wmat(packed)
+    mw, mvec = pack_wmat(adam.m)
+    vw, vvec = pack_wmat(adam.v)
+    scal = jnp.asarray([[
+        gamma, tau, lr, target_entropy, adam.count.astype(f32),
+        jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
+    ]], f32)
+
+    kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
+    batch_spec = lambda d: pl.BlockSpec(
+        (1, bt, d), lambda k, ph, t: (k, t, 0), memory_space=pltpu.VMEM)
+    # (bf16 streams use the same spec; dtype comes from the operand)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda k, ph, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(K, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k, ph, t: (0, 0), memory_space=pltpu.SMEM),
+            batch_spec(IN1), batch_spec(IN1), batch_spec(IN1),
+            batch_spec(1), batch_spec(1), batch_spec(4),
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+        ],
+        out_specs=[
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+            pl.BlockSpec((1, 8, 128), lambda k, ph, t: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((K, 8, 128), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROWS, H), f32),
+            pltpu.VMEM((VROWS, H), f32),
+            pltpu.SMEM((4,), f32),
+        ],
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
+        interpret=interpret,
+    )(scal, xsa, xs, nxs, rew, disc, noise, w, vec, mw, vw, mvec, vvec)
+
+    w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
+    losses = losses3[:, 0, :2]
+    packed2 = unpack_wmat(w2, vec2)
+    adam2 = PackedAdam(
+        m=unpack_wmat(mw2, mvec2), v=unpack_wmat(vw2, vvec2),
+        count=adam.count + K,
+    )
+    return packed2, adam2, losses[:, 0], losses[:, 1]

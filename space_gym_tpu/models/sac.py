@@ -23,7 +23,8 @@ import optax
 from ..engine.core import EnvEngine
 from . import networks
 from .replay import (
-    ReplayState, Transition, nstep_slab, replay_add_slab, replay_init, replay_sample,
+    ReplayState, Transition, nstep_slab, replay_add_slab, replay_init,
+    replay_sample, replay_sample_rows,
 )
 
 
@@ -45,6 +46,12 @@ class SACConfig(NamedTuple):
     n_step: int = 1              # n-step TD targets, computed inside the rollout slab
     alpha_floor: float = 0.0     # lower bound on the entropy temperature
     reward_scale: float = 1.0    # multiply rewards entering the replay buffer
+    # Fused learner (models/fused_sac): all K updates in one Pallas kernel
+    # with params/Adam/targets resident in VMEM (pure-jax packed fallback off
+    # TPU).  Same losses/Adam/polyak as the unrolled path; sampling noise is
+    # drawn up front instead of per update.
+    fused_updates: bool = False
+    fused_block: int = 512       # batch tile per kernel grid step
 
 
 class SACState(NamedTuple):
@@ -206,6 +213,70 @@ class SACTrainer:
         )
         return state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
 
+    def _update_fused(self, state: SACState, key: jax.Array):
+        """All K updates through models/fused_sac (one kernel launch on TPU;
+        the packed pure-jax reference elsewhere)."""
+        from . import fused_sac as fs
+
+        c = self.cfg
+        k_samp, k_noise = jax.random.split(key)
+        total = c.updates_per_iter * c.batch_size
+        if total % c.lanes == 0 and c.batch_size >= c.lanes:
+            big = replay_sample_rows(state.replay, k_samp, total)
+        else:
+            big = replay_sample(state.replay, k_samp, total)
+        batches = jax.tree.map(
+            lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]), big
+        )
+        noises = jax.random.normal(
+            k_noise, (c.updates_per_iter, c.batch_size, 2, self.action_dim),
+            jnp.float32,
+        )
+        packed = fs.pack_params(
+            state.actor_params, state.critic_params,
+            state.target_critic_params, state.log_alpha,
+        )
+        zeros_t = jax.tree.map(jnp.zeros_like, state.target_critic_params)
+        adam = fs.PackedAdam(
+            m=fs.pack_params(state.actor_opt[0].mu, state.critic_opt[0].mu,
+                             zeros_t, state.alpha_opt[0].mu),
+            v=fs.pack_params(state.actor_opt[0].nu, state.critic_opt[0].nu,
+                             zeros_t, state.alpha_opt[0].nu),
+            count=state.critic_opt[0].count,
+        )
+        args = dict(
+            obs_dim=self.obs_dim, gamma=c.gamma, tau=c.tau, lr=c.lr,
+            target_entropy=self.target_entropy, alpha_floor=c.alpha_floor,
+        )
+        if jax.default_backend() == "tpu":
+            packed, adam, closs, aloss = fs.fused_update_k(
+                packed, adam, batches, noises, block=c.fused_block, **args)
+        else:
+            packed, adam, closs, aloss = fs.update_k_reference(
+                packed, adam, batches, noises, **args)
+
+        actor_params, critic_params, target_params, log_alpha = fs.unpack_params(
+            packed, state.actor_params, state.critic_params)
+        m_a, m_c, _, m_la = fs.unpack_params(
+            adam.m, state.actor_params, state.critic_params)
+        v_a, v_c, _, v_la = fs.unpack_params(
+            adam.v, state.actor_params, state.critic_params)
+
+        def rebuild(opt_state, mu, nu):
+            inner = opt_state[0]._replace(count=adam.count, mu=mu, nu=nu)
+            return (inner,) + tuple(opt_state[1:])
+
+        state = state._replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=target_params,
+            log_alpha=log_alpha,
+            actor_opt=rebuild(state.actor_opt, m_a, v_a),
+            critic_opt=rebuild(state.critic_opt, m_c, v_c),
+            alpha_opt=rebuild(state.alpha_opt, m_la, v_la),
+        )
+        return state, {"critic_loss": closs[-1], "actor_loss": aloss[-1]}
+
     def _train_iter(self, state: SACState, key: jax.Array):
         c = self.cfg
         k_roll, k_upd = jax.random.split(key)
@@ -215,27 +286,35 @@ class SACTrainer:
         state = state._replace(env_state=env_state, obs=obs, replay=replay)
 
         metrics = {}
-        # Static unroll; gate updates on warmup so early iters are no-ops for
-        # the parameters but keep a single compiled program.
+        # Gate updates on warmup so early iters are no-ops for the parameters
+        # but keep a single compiled program.
         ready = replay.filled >= jnp.minimum(c.warmup_rows, c.replay_rows)
         learner_fields = (
             "actor_params", "critic_params", "target_critic_params",
             "log_alpha", "actor_opt", "critic_opt", "alpha_opt",
         )
-        for i in range(c.updates_per_iter):
-            k_upd, k_i = jax.random.split(k_upd)
-            new_state, m = self._update_once(state, k_i)
-            # Select only learner leaves (masking the env/replay leaves would
-            # re-materialize the whole buffer per update).
-            state = state._replace(**{
+
+        def gate(new_state, old_state):
+            return old_state._replace(**{
                 f: jax.tree.map(
                     lambda n, o: jnp.where(ready, n, o),
                     getattr(new_state, f),
-                    getattr(state, f),
+                    getattr(old_state, f),
                 )
                 for f in learner_fields
             })
-            metrics = m
+
+        if c.fused_updates:
+            new_state, metrics = self._update_fused(state, k_upd)
+            state = gate(new_state, state)
+        else:
+            for i in range(c.updates_per_iter):
+                k_upd, k_i = jax.random.split(k_upd)
+                new_state, m = self._update_once(state, k_i)
+                # Select only learner leaves (masking the env/replay leaves
+                # would re-materialize the whole buffer per update).
+                state = gate(new_state, state)
+                metrics = m
         metrics = dict(
             metrics,
             mean_reward=rewards.mean(),

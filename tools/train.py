@@ -72,6 +72,9 @@ def main():
                     help="SAC: lower bound on the entropy temperature")
     ap.add_argument("--reward-scale", type=float, default=1.0,
                     help="SAC: reward multiplier entering the replay buffer")
+    ap.add_argument("--fused", action="store_true",
+                    help="SAC: run all K updates as one Pallas kernel "
+                         "(models/fused_sac; packed-jax fallback off TPU)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-steps", type=int, default=600)
@@ -107,6 +110,8 @@ def main():
         trainer = SACTrainer(eng, SACConfig(
             **kw, gamma=args.gamma, n_step=args.n_step,
             alpha_floor=args.alpha_floor, reward_scale=args.reward_scale,
+            fused_updates=args.fused,
+            fused_block=min(1024, args.batch_size),
         ))
     elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(**kw))
