@@ -60,6 +60,60 @@ def build(batch: int, steps: int, substeps: int):
     return eng, jax.jit(run, donate_argnums=(0,))
 
 
+def roofline(eng, steps_per_s: float):
+    """Hardware-normalized framing (VERDICT r1 item 6): exact HBM bytes per
+    lane-step from the fused kernel's operand list, plus a static VPU-op
+    estimate, so the headline number can be judged against what the chip can
+    do (session-noise-robust, unlike raw steps/s).
+
+    The full-step kernel keeps all intermediates in VMEM; its HBM traffic is
+    just per-lane state in/out + the bulk uniforms + the TimeStep outputs.
+    """
+    import jax
+
+    cfg = eng.config
+    p = cfg.n_planets
+    d = cfg.obs_dim
+    tiles = cfg.tiling.n_tiles if cfg.tiling is not None else 0
+    cols = cfg.tiling.cols if cfg.tiling is not None else 1
+    try:
+        from space_gym_tpu.ops.pallas_full import full_step_for_config
+
+        u_rows = full_step_for_config(
+            cfg, eng.substeps, eng.refine_iters, 1024, False
+        ).n_uniform_rows
+    except Exception:
+        u_rows = 24
+    n_in = 6 + 2 + 2 * p + 2 + 3 + cols + (tiles + 5) + u_rows
+    n_out = 6 + 2 * p + 2 + 3 + cols + d + d + 1 + (tiles + 5) + 3
+    bytes_per_step = 4 * (n_in + n_out)
+
+    kind = jax.devices()[0].device_kind.lower()
+    hbm_bw = None
+    for tag, bw in (("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
+                    ("v4", 1228e9), ("v6", 1640e9)):
+        if tag in kind:
+            hbm_bw = bw
+            break
+    # Static VPU-op estimate per lane-step (DP5 physics + events + obs/reward
+    # + amortized reset; see ARCHITECTURE.md "per-lane-step decomposition").
+    rhs_ops = 30 + 20 * p
+    est_ops = (
+        eng.substeps * (6 * rhs_ops + 400)          # stages + combos + error
+        + (eng.refine_iters + 2) * (10 + 4 * p)     # event refinement
+        + 25 * d + 120                              # obs/reward/reset tail
+    )
+    out = {
+        "hbm_bytes_per_step": bytes_per_step,
+        "est_vpu_ops_per_step": est_ops,
+    }
+    if hbm_bw:
+        out["pct_hbm_roofline"] = round(
+            100.0 * steps_per_s * bytes_per_step / hbm_bw, 2
+        )
+    return out
+
+
 def main():
     # Persistent compile cache: the fused-kernel jit is the dominant cold-run
     # cost; repeated bench invocations on the same machine skip it.
@@ -96,16 +150,14 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, args.batch * args.steps / dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_s_goal2p",
-                "value": round(best, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(best / BASELINE_STEPS_PER_S, 2),
-            }
-        )
-    )
+    payload = {
+        "metric": "env_steps_per_s_goal2p",
+        "value": round(best, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(best / BASELINE_STEPS_PER_S, 2),
+    }
+    payload.update(roofline(eng, best))
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

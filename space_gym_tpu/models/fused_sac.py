@@ -721,6 +721,10 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
             pltpu.SMEM((4,), f32),
         ],
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
+        # v5e has 128 MiB of VMEM; the compiler's default scoped limit is
+        # 16 MiB.  The resident params+moments (12.2 MiB) plus per-tile
+        # activations want more headroom at larger K/tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, xsa, xs, nxs, rew, disc, noise, w, vec, mw, vw, mvec, vvec)
 

@@ -111,7 +111,7 @@ def main():
             **kw, gamma=args.gamma, n_step=args.n_step,
             alpha_floor=args.alpha_floor, reward_scale=args.reward_scale,
             fused_updates=args.fused,
-            fused_block=min(1024, args.batch_size),
+            fused_block=min(512, args.batch_size),
         ))
     elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(**kw))
