@@ -89,6 +89,7 @@ class EnvEngine:
         auto_reset: bool = True,
         f32_actions: bool = False,
         pallas_fuse: str = "full",
+        in_kernel_rng=False,
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -109,6 +110,13 @@ class EnvEngine:
         # one kernel (ops.pallas_full); "env" = physics+obs+reward kernel with
         # the reset tail in XLA; "physics" = physics-only kernel (A/B tiers).
         self.pallas_fuse = pallas_fuse
+        # Full-fused kernel RNG source: False = XLA-side bulk draw (default),
+        # "threefry"/True = in-kernel threefry, bit-identical to the XLA draw
+        # (CPU-testable), "hw" = pltpu hardware PRNG (fastest, own stream,
+        # law-parity only; zeros under interpret mode so TPU-only).
+        if in_kernel_rng is True:
+            in_kernel_rng = "threefry"
+        self.in_kernel_rng = (in_kernel_rng if dtype == jnp.float32 else False)
         self._event_fn = events_mod.make_event_fn(
             config.planet_radii, config.world_size, config.max_abs_vel_angle
         )
@@ -239,9 +247,15 @@ class EnvEngine:
         cfg = self.config
         batch = state.y.shape[0]
         full = full_step_for_config(
-            cfg, self.substeps, self.refine_iters, block, interp
+            cfg, self.substeps, self.refine_iters, block, interp,
+            self.in_kernel_rng,
         )
-        u = jax.random.uniform(key, (batch, full.n_uniform_rows), dtype=self.dtype)
+        if self.in_kernel_rng:
+            u = jax.random.key_data(key) if jnp.issubdtype(
+                key.dtype, jax.dtypes.prng_key) else key
+        else:
+            u = jax.random.uniform(
+                key, (batch, full.n_uniform_rows), dtype=self.dtype)
 
         if cfg.task == TASK_GOAL:
             ts = state.tiling

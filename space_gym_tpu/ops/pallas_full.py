@@ -72,7 +72,45 @@ def _norminv(u):
     return jnp.where(in_tail, tail, central)
 
 
-def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=False):
+def _threefry_uniform_matrix(k0, k1, base_index, n_rows, block):
+    """(n_rows, block) f32 uniforms in [0,1), bit-identical to
+    ``jax.random.uniform(key, (batch, n_rows)).T``'s block columns.
+
+    Reproduces jax's default partitionable threefry
+    (jax/_src/prng.py::_threefry_random_bits_partitionable: element i is the
+    XOR of the two threefry2x32(key, (hi32(i)=0, lo32(i)=i)) output words) and
+    the mantissa-fill uniform conversion (jax/_src/random.py::_uniform:
+    ``bitcast(bits >> 9 | 0x3F800000) - 1``).  `base_index` is the flat index
+    of this block's (lane 0, row 0) element, i.e. program_id * block * n_rows.
+
+    Written in plain jnp uint32 ops so it lowers identically under Mosaic and
+    interpret mode — the in-kernel RNG path is therefore CPU-testable and
+    produces the exact stream of the XLA-side bulk draw it replaces.
+    """
+    row = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block), 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block), 1)
+    # element (global_lane, row) of the (batch, n_rows) draw, row-major
+    c1 = base_index + lane * jnp.uint32(n_rows) + row
+    ks0 = k0
+    ks1 = k1
+    ks2 = jnp.uint32(0x1BD11BDA) ^ k0 ^ k1
+    ks = (ks0, ks1, ks2)
+    x0 = jnp.zeros_like(c1) + ks0          # counter word 0 is 0: batch*n_rows < 2**32
+    x1 = c1 + ks1
+    rots = ((13, 15, 26, 6), (17, 29, 16, 24))
+    for g in range(5):
+        for r in rots[g % 2]:
+            x0 = x0 + x1
+            x1 = ((x1 << jnp.uint32(r)) | (x1 >> jnp.uint32(32 - r))) ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + jnp.uint32(g + 1)
+    bits = x0 ^ x1
+    fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(fb, jnp.float32) - 1.0
+
+
+def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=False,
+                   in_kernel_rng=False):
     """Build the full env-step kernel for `config`.
 
     step(y, action, planets, goal, ref_orbit, tili, col_shift, steps_f? ...)
@@ -433,6 +471,34 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
 
     n_int_rows = n_tiles + 5  # free counts + ship + goal + steps + case + flip
 
+    def _count_uniform_rows() -> int:
+        """Rows of u the kernel consumes, by abstract tracing of the same
+        consumer sequence (resample-then-reset, matching the kernel body)."""
+        recorded = 0
+
+        def probe(uarr):
+            nonlocal recorded
+            u = U(uarr)
+            if task == TASK_GOAL:
+                z = jnp.zeros((1,))
+                zi = jnp.zeros((1,), jnp.int32)
+                zb = z > 1.0
+                freed = [zi + 1 for _ in range(n_tiles)]
+                csd = [z for _ in range(cols)]
+                goal_place(u, freed, zi, zi, zb, zb, csd)
+                goal_reset(u)
+            elif task == TASK_KEPLER:
+                kepler_reset(u)
+            else:
+                dnc_reset(u)
+            recorded = u.i
+            return jnp.zeros(())
+
+        jax.eval_shape(probe, jax.ShapeDtypeStruct((4096, 1), jnp.float32))
+        return recorded
+
+    n_uniform_rows = _count_uniform_rows()
+
     def kernel(y_ref, a_ref, p_ref, g_ref, r_ref, cs_ref, u_ref, ti_ref,
                yo_ref, po_ref, go_ref, ro_ref, cso_ref, obs_ref, fobs_ref,
                rew_ref, tio_ref, flag_ref):
@@ -451,7 +517,27 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
         steps = ti_ref[n_int_rows - 3, :] if n_tiles else ti_ref[0, :]
         case_b = (ti_ref[n_int_rows - 2, :] if n_tiles else ti_ref[1, :]) > 0
         flip = (ti_ref[n_int_rows - 1, :] if n_tiles else ti_ref[2, :]) > 0
-        u = U(u_ref)
+        if in_kernel_rng == "hw":
+            # Hardware per-core PRNG: near-free bits, own stream (law-parity
+            # only — not the jax threefry stream).  Seeded per (key, block).
+            # Mosaic accepts at most 2 seed words: fold the block index into
+            # word 0 (golden-ratio multiply keeps nearby blocks decorrelated).
+            pid_mix = pl.program_id(0).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            pltpu.prng_seed(u_ref[0] ^ pid_mix, u_ref[1])
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((n_uniform_rows, block)), jnp.uint32)
+            fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+            u = U(jax.lax.bitcast_convert_type(fb, jnp.float32) - 1.0)
+        elif in_kernel_rng:
+            # u_ref is the (2,) uint32 key words in SMEM; generate the whole
+            # uniforms block in-register — zero HBM traffic for randomness,
+            # bit-identical to the XLA-side bulk draw.
+            base = pl.program_id(0).astype(jnp.uint32) * jnp.uint32(
+                block * n_uniform_rows)
+            u = U(_threefry_uniform_matrix(
+                u_ref[0], u_ref[1], base, n_uniform_rows, block))
+        else:
+            u = U(u_ref)
 
         # ---- physics ----
         yf, terminated = body(comp0, px, py, ae, at)
@@ -558,21 +644,29 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
 
     def apply(y, action, planets, goal, ref_orbit, col_shift, tili, u):
         """All f32 inputs (B, rows) EXCEPT tili (B, int_rows) int32 and
-        u (B, n_u) f32.  Returns the packed outputs, all transposed back."""
+        u — (B, n_u) f32 bulk uniforms, or, with in_kernel_rng, the (2,)
+        uint32 key words (the kernel then draws the identical threefry
+        stream itself).  Returns the packed outputs, all transposed back."""
         B = y.shape[0]
         if B % block:
             raise ValueError(f"batch {B} must be a multiple of block {block}")
-        n_u = u.shape[1]
         grid = (B // block,)
 
         def spec(r):
             return pl.BlockSpec((r, block), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+        if in_kernel_rng:
+            u_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+            u_in = u.astype(jnp.uint32)
+        else:
+            u_spec = spec(u.shape[1])
+            u_in = u.T
+
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[spec(6), spec(2), spec(2 * n_planets), spec(2), spec(3),
-                      spec(cs_rows), spec(n_u), spec(int_rows)],
+                      spec(cs_rows), u_spec, spec(int_rows)],
             out_specs=[spec(6), spec(2 * n_planets), spec(2), spec(3),
                        spec(cs_rows), spec(obs_dim), spec(obs_dim), spec(1),
                        spec(int_rows), spec(3)],
@@ -591,42 +685,18 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
             interpret=interpret,
         )(
             y.T, action.T, planets.reshape(B, 2 * n_planets).T, goal.T,
-            ref_orbit.T, col_shift.T, u.T, tili.T,
+            ref_orbit.T, col_shift.T, u_in, tili.T,
         )
         return outs
 
-    def _count_uniform_rows() -> int:
-        """Rows of u the kernel consumes, by abstract tracing of the same
-        consumer sequence (resample-then-reset, matching the kernel body)."""
-        recorded = 0
-
-        def probe(uarr):
-            nonlocal recorded
-            u = U(uarr)
-            if task == TASK_GOAL:
-                z = jnp.zeros((1,))
-                zi = jnp.zeros((1,), jnp.int32)
-                zb = z > 1.0
-                freed = [zi + 1 for _ in range(n_tiles)]
-                csd = [z for _ in range(cols)]
-                goal_place(u, freed, zi, zi, zb, zb, csd)
-                goal_reset(u)
-            elif task == TASK_KEPLER:
-                kepler_reset(u)
-            else:
-                dnc_reset(u)
-            recorded = u.i
-            return jnp.zeros(())
-
-        jax.eval_shape(probe, jax.ShapeDtypeStruct((4096, 1), jnp.float32))
-        return recorded
-
     apply.n_int_rows = int_rows
     apply.cs_rows = cs_rows
-    apply.n_uniform_rows = _count_uniform_rows()
+    apply.n_uniform_rows = n_uniform_rows
+    apply.in_kernel_rng = in_kernel_rng
     return apply
 
 
 @functools.lru_cache(maxsize=None)
-def full_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False):
-    return make_full_step(config, substeps, refine_iters, block, interpret)
+def full_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False,
+                         in_kernel_rng=False):
+    return make_full_step(config, substeps, refine_iters, block, interpret, in_kernel_rng)

@@ -143,3 +143,68 @@ def test_full_kepler_randomize_resets():
     assert ref[:, 1].std() > 0.1  # actually resampled
     r = np.hypot(np.asarray(sf.y)[:, 0], np.asarray(sf.y)[:, 1])
     assert r.min() >= 0.7 - 1e-5 and r.max() <= 2.5 + 1e-5
+
+
+# -------------------------- in-kernel RNG modes ------------------------------
+
+def test_threefry_matrix_matches_jax_uniform_bitwise():
+    """The in-kernel threefry twin must reproduce jax.random.uniform's exact
+    bits (jax/_src/prng.py partitionable counter layout + random.py::_uniform
+    mantissa fill) for every (block, base) decomposition of the batch."""
+    from space_gym_tpu.ops.pallas_full import _threefry_uniform_matrix
+
+    key = jax.random.key(123)
+    k0, k1 = (jnp.uint32(w) for w in jax.random.key_data(key))
+    batch, n_rows, block = 512, 7, 128
+    ref = np.asarray(jax.random.uniform(key, (batch, n_rows), jnp.float32)).T
+    for pid in range(batch // block):
+        base = jnp.uint32(pid * block * n_rows)
+        got = np.asarray(_threefry_uniform_matrix(k0, k1, base, n_rows, block))
+        want = ref[:, pid * block:(pid + 1) * block]
+        assert (got.view(np.uint32) == want.view(np.uint32)).all()
+
+
+def test_in_kernel_rng_bitwise_vs_xla_draw():
+    """Full-fused step with in_kernel_rng="threefry" is bit-identical to the
+    XLA-side bulk-uniform path, including through forced all-lane resets (the
+    only consumer of the uniforms)."""
+    cfg = dataclasses.replace(
+        space_gym_tpu.get_config("GoalContinuous2P-v0"), max_episode_steps=1
+    )
+    B = 8
+    act = jnp.zeros((B, 2), jnp.float32)
+    outs = {}
+    for mode in (False, "threefry"):
+        eng = EnvEngine(cfg, physics="pallas", dtype=jnp.float32,
+                        pallas_fuse="full", in_kernel_rng=mode)
+        state, _ = eng.init(jax.random.key(0), B)
+        for i in range(2):
+            state, ts = eng.step(state, act, jax.random.key(50 + i))
+        outs[mode] = (np.asarray(state.y), np.asarray(state.goal_pos),
+                      np.asarray(ts.obs), np.asarray(ts.reward))
+    for a, b in zip(outs[False], outs["threefry"]):
+        assert (a.view(np.uint32) == b.view(np.uint32)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu hardware PRNG lowers only on TPU")
+def test_in_kernel_rng_hw_law_smoke():
+    """The hardware-PRNG mode ("hw") draws its own stream: resets must land in
+    the same supports as the XLA path (law parity), but the bits differ."""
+    cfg = dataclasses.replace(
+        space_gym_tpu.get_config("GoalContinuous2P-v0"), max_episode_steps=1
+    )
+    B = 256
+    act = jnp.zeros((B, 2), jnp.float32)
+    ys = {}
+    for mode in (False, "hw"):
+        eng = EnvEngine(cfg, physics="pallas", dtype=jnp.float32,
+                        pallas_fuse="full", in_kernel_rng=mode)
+        state, _ = eng.init(jax.random.key(0), B)
+        state, ts = eng.step(state, act, jax.random.key(7))
+        ys[mode] = np.asarray(state.y)
+    y = ys["hw"]
+    assert np.isfinite(y).all()
+    ws = cfg.world_size
+    assert (np.abs(y[:, :2]) <= ws / 2 + 1e-5).all()
+    assert (y[:, :2] != ys[False][:, :2]).any()  # different stream
