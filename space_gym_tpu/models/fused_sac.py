@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .replay import pack_slab, replay_cols
+
 IN1 = 128     # padded first-layer input width (obs | action | zeros)
 H = 256       # hidden width (flagship SB3-default 2x256 MLPs)
 NHEAD = 4     # actor head columns: [mean(2) | log_std(2)]
@@ -410,9 +412,19 @@ def _dg(a, b, ca, cb, mm_dtype=None):
 def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                  mm_bf16: bool = True):
     """Kernel body for grid (K, 2, T).  Phase 0: critic grads + Adam +
-    polyak; phase 1: actor grads + Adam + temperature."""
+    polyak; phase 1: actor grads + Adam + temperature.
 
-    def kernel(scal, xsa, xs, nxs, rew, disc, noise,
+    The batch arrives as ONE packed (1, W, BT) tile per grid step — the
+    LANES-MINOR replay layout of models/replay.py (obs/next_obs/action/
+    reward/discount at 8-aligned W-row offsets), so the tile DMA is a
+    contiguous slice of the ring with no relayout.  Obs enters the first
+    layer feature-major (contraction over sublanes); actions and per-sample
+    scalars are tiny (BT, <=2) transposes.  No 128-column input padding: no
+    zero-column MXU work, and the padded W1 rows past obs_dim+2 keep zero
+    gradients so the packed weight layout is unchanged."""
+    o0, n0, a0, rr, dd, _ = replay_cols(obs_dim, 2)
+
+    def kernel(scal, data, noise,
                _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
                w_ref, vec_ref, mw_ref, vw_ref, mvec_ref, vvec_ref,
                losses_ref, gw, gvec, acc):
@@ -443,7 +455,8 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         alpha = jnp.exp(la)                                  # (1, 1)
 
         def actor_fwd(x):
-            z1 = dot(x, w_ref[R_AW1:R_AW1 + IN1]) + vec_ref[V_AB1:V_AB1 + 1, :]
+            # x arrives FEATURE-MAJOR (obs_dim, BT); contract dim 0.
+            z1 = dg(x, w_ref[R_AW1:R_AW1 + obs_dim], 0, 0) + vec_ref[V_AB1:V_AB1 + 1, :]
             h1 = jnp.maximum(z1, 0.0)
             z2 = dot(h1, w_ref[R_AW2:R_AW2 + H]) + vec_ref[V_AB2:V_AB2 + 1, :]
             h2 = jnp.maximum(z2, 0.0)
@@ -451,14 +464,13 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             head = head + vec_ref[V_MISC:V_MISC + 1, :NHEAD]
             return head[:, :2], head[:, 2:NHEAD], z1, h1, z2, h2
 
-        def critic_fwd(x, act, r0, vb1, vb2, vw3, b3col):
-            # First-layer input is [obs | action]; when the action comes from
-            # the policy (act is not None) it enters via a separate tiny
-            # matmul against the action rows of W1 instead of materializing
-            # the concatenated input (saves the concat + keeps x a bf16 ref).
-            z1 = dot(x, w_ref[r0:r0 + IN1]) + vec_ref[vb1:vb1 + 1, :]
-            if act is not None:
-                z1 = z1 + _dg(act, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 1, 0)
+        def critic_fwd(x, a, r0, vb1, vb2, vw3, b3col):
+            # First-layer input is [obs | action]: obs arrives FEATURE-MAJOR
+            # (obs_dim, BT) and the action (BT, 2) batch-major; both enter
+            # via SPLIT matmuls against the obs rows / action rows of W1 —
+            # no concatenated or padded input is ever built.
+            z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0) + vec_ref[vb1:vb1 + 1, :]
+            z1 = z1 + _dg(a, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 1, 0)
             h1 = jnp.maximum(z1, 0.0)
             z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
             h2 = jnp.maximum(z2, 0.0)
@@ -475,13 +487,17 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             return a, jnp.sum(lp, axis=1, keepdims=True), pre, ls, std
 
         # ---------------------------------------------------- phase 0: critic
+        od = obs_dim
+
         @pl.when(ph == 0)
         def _critic_phase():
-            x_sa = xsa[0]
-            x_n = nxs[0]
-            r = rew[0]
-            d = disc[0]
-            eps_c = noise[0][:, 0:2]
+            d0 = data[0]                                   # (W, BT)
+            x_o = d0[o0:o0 + od]                           # (od, BT)
+            x_n = d0[n0:n0 + od]
+            a_t = jnp.transpose(d0[a0:a0 + 2], (1, 0))     # (BT, 2)
+            r = jnp.transpose(d0[rr:rr + 1], (1, 0))       # (BT, 1)
+            d = jnp.transpose(d0[dd:dd + 1], (1, 0))
+            eps_c = jnp.transpose(noise[0][0:2], (1, 0))   # (BT, 2)
 
             mean, lsr, *_ = actor_fwd(x_n)
             na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
@@ -492,7 +508,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             loss = 0.0
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
-                    x_sa, None, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                    x_o, a_t, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
                 dq = 2.0 * (q - tq) * invb                      # (BT, 1)
                 loss = loss + jnp.sum((q - tq) ** 2) * invb
                 gvec[V_CW3[c]:V_CW3[c] + 1, :] += jnp.sum(h2 * dq, axis=0, keepdims=True)
@@ -503,7 +519,9 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
                 dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
                 dz1 = jnp.where(z1 > 0, dh1, 0.0)
-                gw[R_CW1[c]:R_CW1[c] + IN1, :] += dg(x_sa, dz1, 0, 0)
+                gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += dg(x_o, dz1, 1, 0)
+                gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2, :] += _dg(
+                    a_t, dz1, 0, 0)
                 gvec[V_CB1[c]:V_CB1[c] + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
             acc[0] += loss
 
@@ -548,8 +566,8 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         # ----------------------------------------------------- phase 1: actor
         @pl.when(ph == 1)
         def _actor_phase():
-            x_o = xs[0]
-            eps_a = noise[0][:, 2:NHEAD]
+            x_o = data[0][o0:o0 + od]                      # (od, BT)
+            eps_a = jnp.transpose(noise[0][2:NHEAD], (1, 0))
 
             mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(x_o)
             a, logp, pre, ls, std = sample(mean, lsr, eps_a)
@@ -595,7 +613,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             gvec[V_AB2:V_AB2 + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
             dh1 = dg(dz2, w_ref[R_AW2:R_AW2 + H], 1, 1)
             dz1 = jnp.where(z1a > 0, dh1, 0.0)
-            gw[R_AW1:R_AW1 + IN1, :] += dg(x_o, dz1, 0, 0)
+            gw[R_AW1:R_AW1 + obs_dim, :] += dg(x_o, dz1, 1, 0)
             gvec[V_AB1:V_AB1 + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
 
             @pl.when(t == n_tiles - 1)
@@ -660,18 +678,9 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
     n_tiles = B // bt
 
     f32 = jnp.float32
-    zpad = jnp.zeros((K, B, IN1 - obs_dim - 2), f32)
-    obs = batches.obs.astype(f32)[..., :obs_dim]
-    xsa = jnp.concatenate([obs, batches.action.astype(f32), zpad], axis=-1)
-    zact = jnp.zeros((K, B, 2), f32)
-    xs = jnp.concatenate([obs, zact, zpad], axis=-1)
-    nxs = jnp.concatenate(
-        [batches.next_obs.astype(f32)[..., :obs_dim], zact, zpad], axis=-1)
-    xdt = jnp.bfloat16 if mm_bf16 else f32
-    xsa, xs, nxs = xsa.astype(xdt), xs.astype(xdt), nxs.astype(xdt)
-    rew = batches.reward.astype(f32)[..., None]
-    disc = batches.discount.astype(f32)[..., None]
-    noise = noises.astype(f32).reshape(K, B, 4)
+    data = pack_slab(batches, obs_dim, 2).astype(f32)   # (K, W, B), lanes minor
+    W = data.shape[1]
+    noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
 
     w, vec = pack_wmat(packed)
     mw, mvec = pack_wmat(adam.m)
@@ -682,9 +691,9 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
     ]], f32)
 
     kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
-    batch_spec = lambda d: pl.BlockSpec(
-        (1, bt, d), lambda k, ph, t: (k, t, 0), memory_space=pltpu.VMEM)
-    # (bf16 streams use the same spec; dtype comes from the operand)
+    # feature-major tiles: block (1, rows, bt) over the lanes-minor operands
+    batch_spec = lambda rows: pl.BlockSpec(
+        (1, rows, bt), lambda k, ph, t: (k, 0, t), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(
         shape, lambda k, ph, t: (0,) * len(shape), memory_space=pltpu.VMEM)
 
@@ -693,8 +702,7 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
         grid=(K, 2, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 8), lambda k, ph, t: (0, 0), memory_space=pltpu.SMEM),
-            batch_spec(IN1), batch_spec(IN1), batch_spec(IN1),
-            batch_spec(1), batch_spec(1), batch_spec(4),
+            batch_spec(W), batch_spec(4),
             full((WROWS, H)), full((VROWS, H)),
             full((WROWS, H)), full((WROWS, H)),
             full((VROWS, H)), full((VROWS, H)),
@@ -720,13 +728,133 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
             pltpu.VMEM((VROWS, H), f32),
             pltpu.SMEM((4,), f32),
         ],
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5},
         # v5e has 128 MiB of VMEM; the compiler's default scoped limit is
         # 16 MiB.  The resident params+moments (12.2 MiB) plus per-tile
         # activations want more headroom at larger K/tiles.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, xsa, xs, nxs, rew, disc, noise, w, vec, mw, vw, mvec, vvec)
+    )(scal, data, noise, w, vec, mw, vw, mvec, vvec)
+
+    w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
+    losses = losses3[:, 0, :2]
+    packed2 = unpack_wmat(w2, vec2)
+    adam2 = PackedAdam(
+        m=unpack_wmat(mw2, mvec2), v=unpack_wmat(vw2, vvec2),
+        count=adam.count + K,
+    )
+    return packed2, adam2, losses[:, 0], losses[:, 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("obs_dim", "gamma", "tau", "lr", "target_entropy",
+                     "alpha_floor", "block", "interpret", "mm_bf16"),
+)
+def fused_update_k_from_replay(packed: PackedParams, adam: PackedAdam,
+                               data, row_idx, noises,
+                               obs_dim: int, gamma: float, tau: float, lr: float,
+                               target_entropy: float, alpha_floor: float = 0.0,
+                               block: int = 512, interpret: bool = False,
+                               mm_bf16: bool = True):
+    """K sequential SAC updates sampling the replay buffer IN-KERNEL.
+
+    Row-granular TPU sampling: XLA gathers from a (rows, lanes, ...) HBM
+    replay are pathologically slow (~11 ms for 262K transitions — slower than
+    the whole K-update kernel), so instead the row indices are scalar-
+    prefetched and each grid step's BlockSpec index_map points straight at
+    its replay row — Pallas double-buffers the DMA behind compute and the
+    gather disappears entirely.  Same sampling law as
+    models/replay.py::replay_sample_rows (uniform rows with replacement).
+
+    data: the packed (rows, W, lanes) ReplayState.data ring (f32, lanes
+    minor — streamed as-is, the matmul bf16 cast happens per-tile in-kernel);
+    row_idx: (K * B//lanes,) int32 rows (caller bounds by `filled`); noises:
+    (K, B, 2, 2).  B = rows-per-minibatch * lanes.
+    """
+    K = noises.shape[0]
+    B = noises.shape[1]
+    R, W, L = data.shape
+    rpb, rem = divmod(B, L)
+    if rem:
+        raise ValueError(f"batch {B} must be a multiple of lanes {L}")
+    if row_idx.shape != (K * rpb,):
+        raise ValueError(f"row_idx {row_idx.shape} != ({K * rpb},)")
+    bt = min(block, L)
+    if L % bt:
+        raise ValueError(f"lanes {L} not divisible by block {bt}")
+    tpr = L // bt                 # tiles per replay row
+    n_tiles = rpb * tpr           # tiles per minibatch
+
+    f32 = jnp.float32
+    noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
+
+    w, vec = pack_wmat(packed)
+    mw, mvec = pack_wmat(adam.m)
+    vw, vvec = pack_wmat(adam.v)
+    scal = jnp.asarray([[
+        gamma, tau, lr, target_entropy, adam.count.astype(f32),
+        jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
+    ]], f32)
+
+    kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
+    # replay-row spec: block (1, W, bt) whose ROW index comes from the
+    # scalar-prefetched sample; tile t of minibatch k covers lane-block
+    # t % tpr of replay row row_idx[k*rpb + t//tpr].
+    replay_spec = pl.BlockSpec(
+        (1, W, bt),
+        lambda k, ph, t, idx: (idx[k * rpb + t // tpr], 0, t % tpr),
+        memory_space=pltpu.VMEM)
+    batch_spec = lambda rows: pl.BlockSpec(
+        (1, rows, bt), lambda k, ph, t, idx: (k, 0, t), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda k, ph, t, idx: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k, ph, t, idx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            replay_spec, batch_spec(4),
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+        ],
+        out_specs=[
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+            pl.BlockSpec((1, 8, 128), lambda k, ph, t, idx: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROWS, H), f32),
+            pltpu.VMEM((VROWS, H), f32),
+            pltpu.SMEM((4,), f32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        # the scalar-prefetch ref arrives as the first argument; the kernel
+        # body never reads it (the index_maps consume it)
+        lambda idx_ref, *refs: kernel(*refs),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((K, 8, 128), f32),
+        ],
+        # +1 for the scalar-prefetch operand at index 0
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(row_idx.astype(jnp.int32), scal, data, noise,
+      w, vec, mw, vw, mvec, vvec)
 
     w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
     losses = losses3[:, 0, :2]

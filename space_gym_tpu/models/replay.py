@@ -1,20 +1,39 @@
 """On-device circular replay buffer.
 
-A PyTree of preallocated HBM arrays with a scalar write cursor; inserts and
-uniform sampling are pure jittable functions, so the whole
-rollout -> insert -> sample -> update loop stays on device (SURVEY.md §2:
-"env-state and replay shards along a data axis").  Under a device mesh the
-capacity axis is sharded along "data": every host inserts its own lanes'
-transitions locally and samples locally — no cross-device traffic in the
-replay path; only gradients are all-reduced.
+ONE packed HBM array with a scalar write cursor; inserts and uniform sampling
+are pure jittable functions, so the whole rollout -> insert -> sample ->
+update loop stays on device (SURVEY.md §2: "env-state and replay shards along
+a data axis").  Under a device mesh the lanes axis is sharded along "data":
+every host inserts its own lanes' transitions locally and samples locally —
+no cross-device traffic in the replay path; only gradients are all-reduced.
 
-Insertion layout: each `add` writes a whole (B, ...) slab of lanes at row
-`cursor % rows`, i.e. the buffer is a (rows, B, ...) ring over time slices.
-This keeps writes as contiguous dynamic-update-slices (no scatters) and
-matches the lockstep rollout shape.
+Packed layout (round 2): `data` is a single (rows, W, lanes) array — LANES
+MINOR — whose W rows are [obs | next_obs | action | reward | discount] at
+8-aligned offsets (see `replay_cols`).  Two hardware facts force this shape:
+
+* XLA's natural TPU layout for a (rows, lanes, d<128) array puts `lanes` in
+  the minor (128-lane) tiled dimension; a Pallas kernel input instead demands
+  minor = last dim.  Five separate (rows, lanes, d) leaves therefore caused a
+  full-buffer relayout copy on every kernel call (~2 GB of traffic per
+  train_iter at flagship sizes).  With lanes last, the XLA-natural and
+  Pallas-natural layouts coincide — the fused learner kernel DMAs (W, block)
+  tiles straight out of the ring with no relayout and no gather.
+* The minor dim tiles to 128 lanes, so a d=13 trailing dim would pad ~10x;
+  lanes (thousands) pad not at all, and W only rounds up to a multiple of 8
+  sublanes.
+
+The fused learner kernel (models/fused_sac.py) scalar-prefetches sampled row
+indices and slices the W rows in-register; XLA-side consumers use the
+pack/unpack helpers below.
+
+Insertion layout: each add writes whole (T, W, lanes) slabs at row
+`cursor % rows`, i.e. the buffer is a ring over time slices.  Writes are
+contiguous dynamic-update-slices (no scatters).
 """
 from __future__ import annotations
 
+import functools
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
@@ -29,40 +48,80 @@ class Transition(NamedTuple):
     discount: jax.Array  # 0.0 iff terminated (truncation still bootstraps)
 
 
-class ReplayState(NamedTuple):
-    data: Transition      # each leaf (rows, lanes, ...)
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def replay_cols(obs_dim: int, action_dim: int):
+    """8-aligned W-row offsets (o0, n0, a0, r0, d0, W) of the packed buffer:
+    obs at o0, next_obs at n0, action at a0, reward row r0, discount row d0.
+    Alignment keeps every kernel-side sublane slice on an 8-granule."""
+    o0 = 0
+    n0 = _ceil8(obs_dim)
+    a0 = _ceil8(n0 + obs_dim)
+    r0 = a0 + action_dim
+    d0 = r0 + 1
+    return o0, n0, a0, r0, d0, _ceil8(d0 + 1)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data", "cursor", "filled"),
+    meta_fields=("obs_dim", "action_dim"),
+)
+@dataclass(frozen=True)
+class ReplayState:
+    data: jax.Array       # (rows, W, lanes) packed transitions, lanes minor
     cursor: jax.Array     # () int32 — next row to write
     filled: jax.Array     # () int32 — rows written so far (<= rows)
+    obs_dim: int          # static row layout (see replay_cols)
+    action_dim: int
+
+    def _replace(self, **kw):
+        from dataclasses import replace
+        return replace(self, **kw)
+
+
+def pack_slab(tr: Transition, obs_dim: int, action_dim: int) -> jax.Array:
+    """(T, lanes, ·) Transition slab -> (T, W, lanes) packed, lanes minor."""
+    o0, n0, a0, r0, d0, w = replay_cols(obs_dim, action_dim)
+    t_len, lanes = tr.reward.shape
+    fm = lambda x: jnp.swapaxes(x, 1, 2)          # (T, L, d) -> (T, d, L)
+    out = jnp.zeros((t_len, w, lanes), tr.obs.dtype)
+    out = jax.lax.dynamic_update_slice_in_dim(out, fm(tr.obs), o0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, fm(tr.next_obs), n0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, fm(tr.action), a0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, tr.reward[:, None], r0, axis=1)
+    out = jax.lax.dynamic_update_slice_in_dim(out, tr.discount[:, None], d0, axis=1)
+    return out
+
+
+def unpack_flat(flat: jax.Array, obs_dim: int, action_dim: int) -> Transition:
+    """(..., W) row-packed vectors -> Transition with (..., d) leaves."""
+    o0, n0, a0, r0, d0, _ = replay_cols(obs_dim, action_dim)
+    return Transition(
+        obs=flat[..., o0:o0 + obs_dim],
+        action=flat[..., a0:a0 + action_dim],
+        reward=flat[..., r0],
+        discount=flat[..., d0],
+        next_obs=flat[..., n0:n0 + obs_dim],
+    )
 
 
 def replay_init(rows: int, lanes: int, obs_dim: int, action_dim: int, dtype=jnp.float32) -> ReplayState:
-    z = lambda *shape: jnp.zeros(shape, dtype)
-    data = Transition(
-        obs=z(rows, lanes, obs_dim),
-        action=z(rows, lanes, action_dim),
-        reward=z(rows, lanes),
-        next_obs=z(rows, lanes, obs_dim),
-        discount=z(rows, lanes),
-    )
+    w = replay_cols(obs_dim, action_dim)[-1]
     return ReplayState(
-        data=data, cursor=jnp.asarray(0, jnp.int32), filled=jnp.asarray(0, jnp.int32)
+        data=jnp.zeros((rows, w, lanes), dtype),
+        cursor=jnp.asarray(0, jnp.int32),
+        filled=jnp.asarray(0, jnp.int32),
+        obs_dim=obs_dim,
+        action_dim=action_dim,
     )
 
 
 def replay_add(state: ReplayState, tr: Transition) -> ReplayState:
     """Insert one time-slice of transitions, leaves shaped (lanes, ...)."""
-    rows = state.data.obs.shape[0]
-    row = jnp.mod(state.cursor, rows)
-
-    def put(buf, x):
-        return jax.lax.dynamic_update_slice_in_dim(buf, x[None], row, axis=0)
-
-    data = jax.tree.map(put, state.data, tr)
-    return ReplayState(
-        data=data,
-        cursor=state.cursor + 1,
-        filled=jnp.minimum(state.filled + 1, rows),
-    )
+    return replay_add_slab(state, jax.tree.map(lambda x: x[None], tr))
 
 
 def replay_add_slab(state: ReplayState, slab: Transition) -> ReplayState:
@@ -73,17 +132,14 @@ def replay_add_slab(state: ReplayState, slab: Transition) -> ReplayState:
     the write offset stays T-aligned and the slab never straddles the ring
     boundary — one contiguous dynamic-update-slice, no O(capacity) shuffling.
     """
-    rows = state.data.obs.shape[0]
+    rows = state.data.shape[0]
     t = slab.obs.shape[0]
     if rows % t != 0:
         raise ValueError(f"slab length {t} must divide replay rows {rows}")
     row = jnp.mod(state.cursor, rows)
-
-    def put(buf, x):
-        return jax.lax.dynamic_update_slice_in_dim(buf, x, row, axis=0)
-
-    data = jax.tree.map(put, state.data, slab)
-    return ReplayState(
+    packed = pack_slab(slab, state.obs_dim, state.action_dim).astype(state.data.dtype)
+    data = jax.lax.dynamic_update_slice_in_dim(state.data, packed, row, axis=0)
+    return state._replace(
         data=data,
         cursor=state.cursor + t,
         filled=jnp.minimum(state.filled + t, rows),
@@ -134,32 +190,32 @@ def nstep_slab(slab: Transition, dones: jax.Array, gamma: float, n: int) -> Tran
 
 def replay_sample(state: ReplayState, key: jax.Array, batch: int) -> Transition:
     """Uniform sample of `batch` transitions from the filled region."""
-    rows, lanes = state.data.reward.shape
+    rows, _, lanes = state.data.shape
     k1, k2 = jax.random.split(key)
     row_idx = jax.random.randint(k1, (batch,), 0, jnp.maximum(state.filled, 1))
     lane_idx = jax.random.randint(k2, (batch,), 0, lanes)
-    take = lambda buf: buf[row_idx, lane_idx]
-    return jax.tree.map(take, state.data)
+    flat = state.data[row_idx, :, lane_idx]          # (batch, W)
+    return unpack_flat(flat, state.obs_dim, state.action_dim)
 
 
 def replay_sample_rows(state: ReplayState, key: jax.Array, batch: int) -> Transition:
     """Row-granular uniform sample: draw batch//lanes random TIME ROWS and
     take every lane in them.
 
-    Per-element random gathers from a (rows, lanes, ...) HBM buffer are the
-    slowest op on TPU (profiled at ~20 ms for 262K elements — more than the
-    entire fused K-update kernel); row gathers move the same bytes as a few
-    contiguous DMA slices.  Lanes are independent episodes marching in
-    lockstep, so a whole row is `lanes` iid transitions sharing only the time
-    index — row sampling keeps the marginal distribution uniform over the
-    buffer while trading some within-batch time diversity (batch//lanes
-    distinct timestamps per minibatch)."""
-    rows, lanes = state.data.reward.shape
+    Per-element random gathers from the HBM ring are the slowest op on TPU
+    (profiled at ~20 ms for 262K elements — more than the entire fused
+    K-update kernel); row gathers move whole contiguous slices.  Lanes are
+    independent episodes marching in lockstep, so a whole row is `lanes` iid
+    transitions sharing only the time index — row sampling keeps the marginal
+    distribution uniform over the buffer while trading some within-batch time
+    diversity (batch//lanes distinct timestamps per minibatch).  On TPU the
+    fused learner goes one step further and skips even this gather
+    (fused_sac.fused_update_k_from_replay DMAs the rows in-kernel from
+    scalar-prefetched indices)."""
+    rows, w, lanes = state.data.shape
     if batch % lanes:
         raise ValueError(f"batch {batch} not divisible by lanes {lanes}")
     n_rows = batch // lanes
     row_idx = jax.random.randint(key, (n_rows,), 0, jnp.maximum(state.filled, 1))
-    take = lambda buf: jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(buf, row_idx[i], 1, axis=0) for i in range(n_rows)]
-    ).reshape((batch,) + buf.shape[2:])
-    return jax.tree.map(take, state.data)
+    flat = jnp.swapaxes(state.data[row_idx], 1, 2).reshape(batch, w)
+    return unpack_flat(flat, state.obs_dim, state.action_dim)

@@ -46,6 +46,11 @@ class SACConfig(NamedTuple):
     n_step: int = 1              # n-step TD targets, computed inside the rollout slab
     alpha_floor: float = 0.0     # lower bound on the entropy temperature
     reward_scale: float = 1.0    # multiply rewards entering the replay buffer
+    # Entropy target for the temperature loss; None = SB3 default -dim(A).
+    # Precision-tracking tasks (Kepler: reward C/(penalty+C) needs the orbit
+    # held tightly) want it well below -dim(A), else alpha grows until the
+    # entropy bonus drowns the ~0.1/step task reward.
+    target_entropy: float | None = None
     # Fused learner (models/fused_sac): all K updates in one Pallas kernel
     # with params/Adam/targets resident in VMEM (pure-jax packed fallback off
     # TPU).  Same losses/Adam/polyak as the unrolled path; sampling noise is
@@ -85,7 +90,10 @@ class SACTrainer:
         self.action_dim = engine.config.action_dim
         self.actor = networks.TanhGaussianActor(self.action_dim, config.hidden)
         self.critic = networks.DoubleCritic(config.hidden)
-        self.target_entropy = -float(self.action_dim)
+        self.target_entropy = (
+            -float(self.action_dim)
+            if config.target_entropy is None else float(config.target_entropy)
+        )
         self.opt = optax.adam(config.lr)
 
         self.init = jax.jit(self._init)
@@ -221,13 +229,30 @@ class SACTrainer:
         c = self.cfg
         k_samp, k_noise = jax.random.split(key)
         total = c.updates_per_iter * c.batch_size
-        if total % c.lanes == 0 and c.batch_size >= c.lanes:
+        lanes_r = state.replay.data.shape[2]
+        # On TPU, when minibatches are whole replay rows, skip the XLA-side
+        # gather entirely: the kernel scalar-prefetches the row indices and
+        # DMAs its tiles straight out of the replay ring (same sampling law
+        # as replay_sample_rows; see fused_sac.fused_update_k_from_replay).
+        in_kernel_sampling = (
+            jax.default_backend() == "tpu"
+            and c.batch_size % lanes_r == 0
+            and lanes_r % min(c.fused_block, lanes_r) == 0
+        )
+        if in_kernel_sampling:
+            rpb = c.batch_size // lanes_r
+            row_idx = jax.random.randint(
+                k_samp, (c.updates_per_iter * rpb,), 0,
+                jnp.maximum(state.replay.filled, 1))
+            batches = None
+        elif total % c.lanes == 0 and c.batch_size >= c.lanes:
             big = replay_sample_rows(state.replay, k_samp, total)
         else:
             big = replay_sample(state.replay, k_samp, total)
-        batches = jax.tree.map(
-            lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]), big
-        )
+        if not in_kernel_sampling:
+            batches = jax.tree.map(
+                lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]), big
+            )
         noises = jax.random.normal(
             k_noise, (c.updates_per_iter, c.batch_size, 2, self.action_dim),
             jnp.float32,
@@ -248,7 +273,11 @@ class SACTrainer:
             obs_dim=self.obs_dim, gamma=c.gamma, tau=c.tau, lr=c.lr,
             target_entropy=self.target_entropy, alpha_floor=c.alpha_floor,
         )
-        if jax.default_backend() == "tpu":
+        if in_kernel_sampling:
+            packed, adam, closs, aloss = fs.fused_update_k_from_replay(
+                packed, adam, state.replay.data, row_idx, noises,
+                block=c.fused_block, **args)
+        elif jax.default_backend() == "tpu":
             packed, adam, closs, aloss = fs.fused_update_k(
                 packed, adam, batches, noises, block=c.fused_block, **args)
         else:

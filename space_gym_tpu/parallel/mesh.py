@@ -56,7 +56,8 @@ _PARAM_FIELDS = frozenset(
 )
 # Fields whose leaves carry a leading lanes axis.
 _ENV_FIELDS = frozenset({"env_state", "obs"})
-# Replay leaves are (rows, lanes, ...): lanes is axis 1.
+# The packed replay ring is (rows, W, lanes): lanes is the MINOR axis 2
+# (models/replay.py round-2 layout).
 _REPLAY_FIELDS = frozenset({"replay"})
 
 
@@ -65,8 +66,8 @@ def _spec_env(x) -> P:
 
 
 def _spec_replay(x) -> P:
-    # data leaves (rows, lanes, ...); cursor/filled scalars replicate.
-    return P(None, "data", *([None] * (x.ndim - 2))) if x.ndim >= 2 else P()
+    # data ring (rows, W, lanes); cursor/filled scalars replicate.
+    return P(None, None, "data") if x.ndim == 3 else P()
 
 
 def _spec_param(model_parallel: int):

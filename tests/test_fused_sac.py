@@ -231,3 +231,56 @@ def test_kernel_bf16_close_to_reference_interpret():
         d = np.abs(np.asarray(p_k._asdict()[f]) - np.asarray(p_ref._asdict()[f]))
         assert d.max() <= 2.5 * lr, (f, d.max())
         assert (d <= 1e-4).mean() > 0.99, (f, (d <= 1e-4).mean())
+
+
+def test_from_replay_matches_reference_interpret():
+    """fused_update_k_from_replay (scalar-prefetch in-kernel row sampling)
+    reproduces gather -> update_k_reference exactly: same rows, same math.
+    Uses rows=8, lanes=64, B=128 (2 replay rows per minibatch, 2 lane tiles
+    per row) so every index-map case (k, t//tpr, t%tpr) is exercised."""
+    tr = make_trainer()
+    st = tr.init(jax.random.key(3))
+    obs_dim = tr.obs_dim
+    K, R, L, BT = 2, 8, 64, 32
+    B = 2 * L  # rpb = 2
+    from space_gym_tpu.models.replay import pack_slab, unpack_flat
+
+    kd, ki, kn = jax.random.split(jax.random.key(21), 3)
+    tr_data = Transition(
+        obs=jax.random.normal(kd, (R, L, obs_dim), jnp.float32),
+        action=jax.random.uniform(jax.random.fold_in(kd, 1), (R, L, 2),
+                                  jnp.float32, minval=-1, maxval=1),
+        reward=jax.random.normal(jax.random.fold_in(kd, 2), (R, L), jnp.float32),
+        next_obs=jax.random.normal(jax.random.fold_in(kd, 3), (R, L, obs_dim),
+                                   jnp.float32),
+        discount=(jax.random.uniform(jax.random.fold_in(kd, 4), (R, L)) > 0.1
+                  ).astype(jnp.float32),
+    )
+    data = pack_slab(tr_data, obs_dim, 2)  # (R, W, L) ring as ReplayState holds it
+    row_idx = jax.random.randint(ki, (K * 2,), 0, R)
+    noises = jax.random.normal(kn, (K, B, 2, 2), jnp.float32)
+
+    packed = fs.pack_params(st.actor_params, st.critic_params,
+                            st.target_critic_params, st.log_alpha)
+    adam = fs.adam_init(packed)
+    args = (obs_dim, tr.cfg.gamma, tr.cfg.tau, tr.cfg.lr, tr.target_entropy)
+
+    # oracle: gather the same rows XLA-side, then the autodiff reference
+    gathered = unpack_flat(
+        jnp.swapaxes(data[row_idx], 1, 2).reshape(K, B, -1), obs_dim, 2)
+    p_ref, ad_ref, cl_ref, al_ref = fs.update_k_reference(
+        packed, adam, gathered, noises, *args)
+
+    p_k, ad_k, cl_k, al_k = fs.fused_update_k_from_replay(
+        packed, adam, data, row_idx, noises, *args, block=BT, interpret=True,
+        mm_bf16=False)
+
+    np.testing.assert_allclose(np.asarray(cl_k), np.asarray(cl_ref),
+                               rtol=1e-4, atol=1e-5, err_msg="critic loss")
+    np.testing.assert_allclose(np.asarray(al_k), np.asarray(al_ref),
+                               rtol=1e-3, atol=1e-5, err_msg="actor loss")
+    for f in fs.PackedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p_k, f)), np.asarray(getattr(p_ref, f)),
+            rtol=2e-4, atol=2e-5, err_msg=f"param {f}")
+    assert int(ad_k.count) == int(ad_ref.count) == K

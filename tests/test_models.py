@@ -40,7 +40,9 @@ def test_replay_ring_wraps():
         rs = replay_add_slab(rs, make_slab(4, 4, 3, 2, base=10 * i))
     assert int(rs.cursor) == 12
     assert int(rs.filled) == 8
-    rewards = np.asarray(rs.data.reward[:, 0])
+    from space_gym_tpu.models.replay import replay_cols
+    r0 = replay_cols(3, 2)[3]
+    rewards = np.asarray(rs.data[:, r0, 0])
     # rows 0-3 hold slab 2 (base 20), rows 4-7 hold slab 1 (base 10)
     np.testing.assert_array_equal(rewards[:4], [20, 21, 22, 23])
     np.testing.assert_array_equal(rewards[4:], [10, 11, 12, 13])

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--updates-per-iter", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--physics", default=None)
+    ap.add_argument("--fused", action="store_true",
+                    help="profile the fused-kernel learner path")
+    ap.add_argument("--fused-block", type=int, default=1024)
     args = ap.parse_args()
 
     import jax
@@ -65,6 +68,8 @@ def main():
         rollout_len=args.rollout_len,
         updates_per_iter=args.updates_per_iter,
         batch_size=args.batch_size,
+        fused_updates=args.fused,
+        fused_block=args.fused_block,
     )
     tr = SACTrainer(eng, cfg)
     state = tr.init(jax.random.key(0))
@@ -85,19 +90,25 @@ def main():
     print(f"rollout only         : {t_roll*1e3:8.2f} ms  "
           f"({steps_per_iter/t_roll/1e6:6.2f}M env-steps/s)")
 
-    upd1 = jax.jit(lambda s, k: tr._update_once(s, k))
-    t_upd1 = timeit(upd1, state, key)
-    print(f"single update        : {t_upd1*1e3:8.2f} ms")
+    if args.fused:
+        updk_fn = jax.jit(lambda s, k: tr._update_fused(s, k))
+        t_updk = timeit(updk_fn, state, key)
+        print(f"fused K updates      : {t_updk*1e3:8.2f} ms  "
+              f"(K={cfg.updates_per_iter}, block={cfg.fused_block})")
+    else:
+        upd1 = jax.jit(lambda s, k: tr._update_once(s, k))
+        t_upd1 = timeit(upd1, state, key)
+        print(f"single update        : {t_upd1*1e3:8.2f} ms")
 
-    def updates_only(s, k):
-        for i in range(cfg.updates_per_iter):
-            k, ki = jax.random.split(k)
-            s, m = tr._update_once(s, ki)
-        return s, m
+        def updates_only(s, k):
+            for i in range(cfg.updates_per_iter):
+                k, ki = jax.random.split(k)
+                s, m = tr._update_once(s, ki)
+            return s, m
 
-    updk = jax.jit(updates_only)
-    t_updk = timeit(updk, state, key)
-    print(f"{cfg.updates_per_iter:3d} updates          : {t_updk*1e3:8.2f} ms")
+        updk = jax.jit(updates_only)
+        t_updk = timeit(updk, state, key)
+        print(f"{cfg.updates_per_iter:3d} updates          : {t_updk*1e3:8.2f} ms")
 
     samp = jax.jit(lambda s, k: replay_sample(s.replay, k, cfg.batch_size))
     t_samp = timeit(samp, state, key)

@@ -72,6 +72,9 @@ def main():
                     help="SAC: lower bound on the entropy temperature")
     ap.add_argument("--reward-scale", type=float, default=1.0,
                     help="SAC: reward multiplier entering the replay buffer")
+    ap.add_argument("--target-entropy", type=float, default=None,
+                    help="SAC: entropy target for the temperature loss "
+                         "(default -dim(A); precision tasks want lower)")
     ap.add_argument("--fused", action="store_true",
                     help="SAC: run all K updates as one Pallas kernel "
                          "(models/fused_sac; packed-jax fallback off TPU)")
@@ -110,6 +113,7 @@ def main():
         trainer = SACTrainer(eng, SACConfig(
             **kw, gamma=args.gamma, n_step=args.n_step,
             alpha_floor=args.alpha_floor, reward_scale=args.reward_scale,
+            target_entropy=args.target_entropy,
             fused_updates=args.fused,
             fused_block=min(512, args.batch_size),
         ))
