@@ -417,12 +417,23 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
     The batch arrives as ONE packed (1, W, BT) tile per grid step — the
     LANES-MINOR replay layout of models/replay.py (obs/next_obs/action/
     reward/discount at 8-aligned W-row offsets), so the tile DMA is a
-    contiguous slice of the ring with no relayout.  Obs enters the first
-    layer feature-major (contraction over sublanes); actions and per-sample
-    scalars are tiny (BT, <=2) transposes.  No 128-column input padding: no
-    zero-column MXU work, and the padded W1 rows past obs_dim+2 keep zero
-    gradients so the packed weight layout is unchanged."""
+    contiguous slice of the ring with no relayout.  No 128-column input
+    padding: obs/action enter the first layer via split matmuls, and the
+    padded W1 rows past obs_dim+2 keep zero gradients so the packed weight
+    layout is unchanged.
+
+    EVERY per-sample small tensor (action, reward, discount, noise, q, tq,
+    logp, actor head, head grads) lives FEATURE-MAJOR, shape (f<=4, BT) with
+    the batch on the 128-lane axis.  Batch-major (BT, f<=4) would waste
+    126/128 lanes of every vreg — ~16x more VPU work on exactly the ops that
+    dominate once the matmuls are tiled (measured: the batch-major kernel ran
+    at ~13% MFU with the VPU as the bottleneck).  Rank-1 broadcasts like
+    dq * w3_row become K=1 matmuls on the MXU instead of lane-broadcast
+    relayouts.  Only the (BT, 256) activations stay batch-major — there the
+    lane axis is already full."""
     o0, n0, a0, rr, dd, _ = replay_cols(obs_dim, 2)
+    import os as _os
+    _ablate = _os.environ.get("SGT_FUSED_ABLATE", "")  # timing experiments only
 
     def kernel(scal, data, noise,
                _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
@@ -431,8 +442,20 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         # The six *_in refs alias the six *_ref outputs (input_output_aliases)
         # — same memory; all reads/writes go through the output refs.
         mmd = jnp.bfloat16 if mm_bf16 else None
+        # adt: FORWARD activation dtype.  With mm_bf16 the hidden activations
+        # (z1/h1/z2/h2) stay bf16 end to end — halves the VPU work on every
+        # (BT, 256) relu/bias/where and kills the per-matmul f32->bf16 input
+        # casts (measured ~25% of kernel time).  Heads, q-values, logp and all
+        # gradients remain f32 (MXU accumulation is f32 either way).
+        adt = jnp.bfloat16 if mm_bf16 else jnp.float32
         dot = lambda a, b: _dot(a, b, mm_dtype=mmd)
         dg = lambda a, b, ca, cb: _dg(a, b, ca, cb, mm_dtype=mmd)
+        # Mosaic's tpu.matmul requires a 32-bit accumulator and this target
+        # has no bf16 compare, so pre-activations z stay f32 (backward relu
+        # masks compare on them); only the post-relu h is cast to adt, which
+        # every consumer (fwd matmul + backward grad matmul) then uses
+        # cast-free.
+        relu = lambda z: jnp.maximum(z, 0.0).astype(adt)
         ph = pl.program_id(1)
         t = pl.program_id(2)
         kf = pl.program_id(0).astype(jnp.float32)
@@ -456,48 +479,52 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
 
         def actor_fwd(x):
             # x arrives FEATURE-MAJOR (obs_dim, BT); contract dim 0.
+            # Hidden activations in adt (bf16 on the fast path); the head
+            # comes out f32 so the sampling math keeps full precision.
             z1 = dg(x, w_ref[R_AW1:R_AW1 + obs_dim], 0, 0) + vec_ref[V_AB1:V_AB1 + 1, :]
-            h1 = jnp.maximum(z1, 0.0)
+            h1 = relu(z1)
             z2 = dot(h1, w_ref[R_AW2:R_AW2 + H]) + vec_ref[V_AB2:V_AB2 + 1, :]
-            h2 = jnp.maximum(z2, 0.0)
-            head = dg(h2, w_ref[R_AWH:R_AWH + NHEAD], 1, 1)  # (BT, 4)
-            head = head + vec_ref[V_MISC:V_MISC + 1, :NHEAD]
-            return head[:, :2], head[:, 2:NHEAD], z1, h1, z2, h2
+            h2 = relu(z2)
+            head = dg(w_ref[R_AWH:R_AWH + NHEAD], h2, 1, 1)  # (4, BT) f32
+            head = head + jnp.transpose(
+                vec_ref[V_MISC:V_MISC + 1, :NHEAD], (1, 0))
+            return head[:2], head[2:NHEAD], z1, h1, z2, h2
 
         def critic_fwd(x, a, r0, vb1, vb2, vw3, b3col):
-            # First-layer input is [obs | action]: obs arrives FEATURE-MAJOR
-            # (obs_dim, BT) and the action (BT, 2) batch-major; both enter
-            # via SPLIT matmuls against the obs rows / action rows of W1 —
-            # no concatenated or padded input is ever built.
+            # First-layer input is [obs | action]: both arrive FEATURE-MAJOR
+            # ((obs_dim, BT) / (2, BT)) and enter via SPLIT matmuls against
+            # the obs rows / action rows of W1 — no concatenated or padded
+            # input is ever built.
             z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0) + vec_ref[vb1:vb1 + 1, :]
-            z1 = z1 + _dg(a, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 1, 0)
-            h1 = jnp.maximum(z1, 0.0)
+            z1 = z1 + _dg(a, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 0, 0)
+            h1 = relu(z1)
             z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
-            h2 = jnp.maximum(z2, 0.0)
-            q = jnp.sum(h2 * vec_ref[vw3:vw3 + 1, :], axis=1, keepdims=True)
+            h2 = relu(z2)
+            q = dg(vec_ref[vw3:vw3 + 1, :], h2, 1, 1)        # (1, BT) f32
             return q + vec_ref[V_MISC:V_MISC + 1, b3col:b3col + 1], z1, h1, z2, h2
 
         def sample(mean, lsr, eps):
+            # all (2, BT) feature-major
             ls = jnp.clip(lsr, LOG_STD_MIN, LOG_STD_MAX)
             std = jnp.exp(ls)
             pre = mean + std * eps
             a = jnp.tanh(pre)
             lp = -0.5 * (eps * eps + 2 * ls + LOG2PI)
             lp = lp - 2 * (LOG2 - pre - jax.nn.softplus(-2 * pre))
-            return a, jnp.sum(lp, axis=1, keepdims=True), pre, ls, std
+            return a, jnp.sum(lp, axis=0, keepdims=True), pre, ls, std
 
         # ---------------------------------------------------- phase 0: critic
         od = obs_dim
 
-        @pl.when(ph == 0)
+        @pl.when(ph == 0 if "nophase0" not in _ablate else ph == -1)
         def _critic_phase():
             d0 = data[0]                                   # (W, BT)
-            x_o = d0[o0:o0 + od]                           # (od, BT)
-            x_n = d0[n0:n0 + od]
-            a_t = jnp.transpose(d0[a0:a0 + 2], (1, 0))     # (BT, 2)
-            r = jnp.transpose(d0[rr:rr + 1], (1, 0))       # (BT, 1)
-            d = jnp.transpose(d0[dd:dd + 1], (1, 0))
-            eps_c = jnp.transpose(noise[0][0:2], (1, 0))   # (BT, 2)
+            x_o = d0[o0:o0 + od].astype(adt)               # (od, BT)
+            x_n = d0[n0:n0 + od].astype(adt)
+            a_t = d0[a0:a0 + 2]                            # (2, BT) f32
+            r = d0[rr:rr + 1]                              # (1, BT)
+            d = d0[dd:dd + 1]
+            eps_c = noise[0][0:2]                          # (2, BT)
 
             mean, lsr, *_ = actor_fwd(x_n)
             na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
@@ -509,11 +536,12 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
                     x_o, a_t, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
-                dq = 2.0 * (q - tq) * invb                      # (BT, 1)
+                dq = 2.0 * (q - tq) * invb                      # (1, BT)
                 loss = loss + jnp.sum((q - tq) ** 2) * invb
-                gvec[V_CW3[c]:V_CW3[c] + 1, :] += jnp.sum(h2 * dq, axis=0, keepdims=True)
+                gvec[V_CW3[c]:V_CW3[c] + 1, :] += dg(dq, h2, 1, 0)
                 gvec[V_MISC:V_MISC + 1, M_CB3[0] + c:M_CB3[0] + c + 1] += jnp.sum(dq)[None, None]
-                dh2 = dq * vec_ref[V_CW3[c]:V_CW3[c] + 1, :]
+                # rank-1 outer product on the MXU, not a lane-broadcast
+                dh2 = _dg(dq, vec_ref[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
                 dz2 = jnp.where(z2 > 0, dh2, 0.0)
                 gw[R_CW1[c] + IN1:R_CW1[c] + IN1 + H, :] += dg(h1, dz2, 0, 0)
                 gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
@@ -521,11 +549,11 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 dz1 = jnp.where(z1 > 0, dh1, 0.0)
                 gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += dg(x_o, dz1, 1, 0)
                 gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2, :] += _dg(
-                    a_t, dz1, 0, 0)
+                    a_t, dz1, 1, 0)
                 gvec[V_CB1[c]:V_CB1[c] + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
             acc[0] += loss
 
-            @pl.when(t == n_tiles - 1)
+            @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
             def _apply_critic():
                 def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
                     glo = lo if glo is None else glo
@@ -564,10 +592,10 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 losses_ref[0, 0:1, 0:1] = jnp.full((1, 1), acc[0])
 
         # ----------------------------------------------------- phase 1: actor
-        @pl.when(ph == 1)
+        @pl.when(ph == 1 if "nophase1" not in _ablate else ph == -1)
         def _actor_phase():
-            x_o = data[0][o0:o0 + od]                      # (od, BT)
-            eps_a = jnp.transpose(noise[0][2:NHEAD], (1, 0))
+            x_o = data[0][o0:o0 + od].astype(adt)          # (od, BT)
+            eps_a = noise[0][2:NHEAD]                      # (2, BT)
 
             mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(x_o)
             a, logp, pre, ls, std = sample(mean, lsr, eps_a)
@@ -575,39 +603,41 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             qs, caches = [], []
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
-                    x_o, a, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                    x_o, a, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c],
+                    M_CB3[0] + c)
                 qs.append(q)
                 caches.append((z1, h1, z2, h2))
-            minq = jnp.minimum(qs[0], qs[1])
+            minq = jnp.minimum(qs[0], qs[1])               # (1, BT)
             pick0 = (qs[0] <= qs[1]).astype(jnp.float32)
             acc[0] += jnp.sum(alpha * logp - minq) * invb
             acc[1] += jnp.sum(logp)
 
             # dL/da through the min critic's input columns
-            da = jnp.zeros_like(a)
+            da = jnp.zeros_like(a)                         # (2, BT)
             for c in (0, 1):
                 z1, h1, z2, h2 = caches[c]
                 sel = pick0 if c == 0 else (1.0 - pick0)
-                dq = -invb * sel                                 # (BT, 1)
-                dh2 = dq * vec_ref[V_CW3[c]:V_CW3[c] + 1, :]
+                dq = -invb * sel                                 # (1, BT)
+                dh2 = _dg(dq, vec_ref[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
                 dz2 = jnp.where(z2 > 0, dh2, 0.0)
                 dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
                 dz1 = jnp.where(z1 > 0, dh1, 0.0)
                 # only the ACTION columns of the input gradient are needed:
-                # da = dz1 @ W1[action rows]^T, a (BT,2) = (BT,H) @ (H,2)
-                da = da + dg(dz1, w_ref[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2], 1, 1)
+                # da (2,BT) = W1[action rows] (2,H) . dz1^T (H,BT)
+                da = da + dg(w_ref[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2], dz1, 1, 1)
 
-            dlogp = alpha * invb                                 # scalar
+            dlogp = alpha * invb                                 # (1, 1)
             sig = jax.nn.sigmoid(-2.0 * pre)
-            dpre = da * (1.0 - jnp.tanh(pre) ** 2) + dlogp * (2.0 - 4.0 * sig)
+            dpre = da * (1.0 - a * a) + dlogp * (2.0 - 4.0 * sig)
             dmean = dpre
             clipmask = ((lsr > LOG_STD_MIN) & (lsr < LOG_STD_MAX)).astype(jnp.float32)
             dlsr = (dpre * std * eps_a - dlogp) * clipmask
-            ghead = jnp.concatenate([dmean, dlsr], axis=1)       # (BT, 4)
+            ghead = jnp.concatenate([dmean, dlsr], axis=0)       # (4, BT)
 
-            gw[G_AWH:G_AWH + NHEAD, :] += dg(ghead, h2a, 0, 0)
-            gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] += jnp.sum(ghead, axis=0, keepdims=True)
-            dh2 = dg(ghead, w_ref[R_AWH:R_AWH + NHEAD], 1, 0)
+            gw[G_AWH:G_AWH + NHEAD, :] += dg(ghead, h2a, 1, 0)
+            gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] += jnp.transpose(
+                jnp.sum(ghead, axis=1, keepdims=True), (1, 0))
+            dh2 = dg(ghead, w_ref[R_AWH:R_AWH + NHEAD], 0, 0)
             dz2 = jnp.where(z2a > 0, dh2, 0.0)
             gw[R_AW2:R_AW2 + H, :] += dg(h1a, dz2, 0, 0)
             gvec[V_AB2:V_AB2 + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
@@ -616,7 +646,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             gw[R_AW1:R_AW1 + obs_dim, :] += dg(x_o, dz1, 1, 0)
             gvec[V_AB1:V_AB1 + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
 
-            @pl.when(t == n_tiles - 1)
+            @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
             def _apply_actor():
                 def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
                     glo = lo if glo is None else glo

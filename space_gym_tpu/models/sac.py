@@ -56,7 +56,8 @@ class SACConfig(NamedTuple):
     # TPU).  Same losses/Adam/polyak as the unrolled path; sampling noise is
     # drawn up front instead of per update.
     fused_updates: bool = False
-    fused_block: int = 512       # batch tile per kernel grid step
+    fused_block: int = 2048      # batch tile per kernel grid step (measured
+                                 # optimum on v5e: 2048 > 1024 > 512 >> 4096)
 
 
 class SACState(NamedTuple):

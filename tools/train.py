@@ -115,7 +115,7 @@ def main():
             alpha_floor=args.alpha_floor, reward_scale=args.reward_scale,
             target_entropy=args.target_entropy,
             fused_updates=args.fused,
-            fused_block=min(512, args.batch_size),
+            fused_block=min(2048, args.batch_size),
         ))
     elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(**kw))
