@@ -686,6 +686,184 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
     return kernel
 
 
+
+
+class FusedState(NamedTuple):
+    """Kernel-layout learner state cached ACROSS train_iters.
+
+    Re-deriving the (WROWS, H) weight matrices from the flax trees every
+    train_iter cost ~2.4 ms of XLA op soup (pack_params/pack_wmat x3 +
+    unpack x3) — a third of the whole iteration.  Keeping the canonical
+    learner state in kernel layout makes the per-iter pack cost zero; the
+    flax actor tree needed for rollouts is re-sliced from `w`/`vec` in a
+    handful of cheap ops (see `unpack_actor`)."""
+
+    w: jax.Array      # (WROWS, H) weights (actor | critics | targets | head)
+    vec: jax.Array    # (VROWS, H) biases / w3 rows / misc
+    mw: jax.Array     # Adam first moments, same layouts
+    mvec: jax.Array
+    vw: jax.Array     # Adam second moments
+    vvec: jax.Array
+    count: jax.Array  # () int32 optax-equivalent step count
+
+
+def fused_init(packed: PackedParams, adam: PackedAdam) -> FusedState:
+    w, vec = pack_wmat(packed)
+    mw, mvec = pack_wmat(adam.m)
+    vw, vvec = pack_wmat(adam.v)
+    return FusedState(w=w, vec=vec, mw=mw, mvec=mvec, vw=vw, vvec=vvec,
+                      count=adam.count)
+
+
+def fused_unpack(f: FusedState) -> tuple[PackedParams, PackedAdam]:
+    return unpack_wmat(f.w, f.vec), PackedAdam(
+        m=unpack_wmat(f.mw, f.mvec), v=unpack_wmat(f.vw, f.vvec), count=f.count)
+
+
+def unpack_actor(w, vec, obs_dim: int, action_dim: int = 2):
+    """Flax actor tree straight from the wmat rows — 8 slices, no staging
+    through PackedParams (cheap enough to run every train_iter)."""
+    misc = vec[V_MISC]
+    wh = w[R_AWH:R_AWH + NHEAD]          # (4, H) head^T
+    return {"params": {
+        "MLP_0": {
+            "Dense_0": {"kernel": w[R_AW1:R_AW1 + obs_dim], "bias": vec[V_AB1]},
+            "Dense_1": {"kernel": w[R_AW2:R_AW2 + H], "bias": vec[V_AB2]},
+        },
+        "Dense_0": {"kernel": wh[:action_dim].T,
+                    "bias": misc[M_ABH[0]:M_ABH[0] + action_dim]},
+        "Dense_1": {"kernel": wh[action_dim:NHEAD].T,
+                    "bias": misc[M_ABH[0] + action_dim:M_ABH[1]]},
+    }}
+
+
+def _kernel_call(f: FusedState, data, row_idx, noises, *, obs_dim, gamma, tau,
+                 lr, target_entropy, alpha_floor, block, interpret, mm_bf16):
+    """Shared pallas_call driver for both sampling modes.
+
+    row_idx None: `data` is the packed (K, W, B) minibatch tensor (lanes
+    minor) and tiles index it directly.  row_idx given: `data` is the whole
+    (rows, W, lanes) replay ring; the indices are scalar-prefetched and each
+    grid step's BlockSpec DMAs its tile straight out of the ring (XLA
+    row-gathers from HBM measured ~11 ms for 262K transitions — slower than
+    the entire K-update kernel; the in-kernel DMA is free, double-buffered
+    behind compute).  Returns (FusedState', critic_losses (K,), actor_losses
+    (K,))."""
+    K, B = noises.shape[0], noises.shape[1]
+    f32 = jnp.float32
+    noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
+
+    scal = jnp.asarray([[
+        gamma, tau, lr, target_entropy, f.count.astype(f32),
+        jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
+    ]], f32)
+
+    if row_idx is None:
+        W = data.shape[1]
+        bt = min(block, B)
+        if B % bt:
+            raise ValueError(f"batch {B} not divisible by block {bt}")
+        n_tiles = B // bt
+        extra, prefetch = (), 0
+        data_spec = lambda args: pl.BlockSpec(
+            (1, W, bt), lambda k, ph, t, *a: (k, 0, t), memory_space=pltpu.VMEM)
+    else:
+        R, W, L = data.shape
+        rpb, rem = divmod(B, L)
+        if rem:
+            raise ValueError(f"batch {B} must be a multiple of lanes {L}")
+        if row_idx.shape != (K * rpb,):
+            raise ValueError(f"row_idx {row_idx.shape} != ({K * rpb},)")
+        bt = min(block, L)
+        if L % bt:
+            raise ValueError(f"lanes {L} not divisible by block {bt}")
+        tpr = L // bt                 # tiles per replay row
+        n_tiles = rpb * tpr           # tiles per minibatch
+        extra, prefetch = (row_idx.astype(jnp.int32),), 1
+        # tile t of minibatch k covers lane-block t % tpr of replay row
+        # row_idx[k*rpb + t//tpr]
+        data_spec = lambda args: pl.BlockSpec(
+            (1, W, bt),
+            lambda k, ph, t, idx: (idx[k * rpb + t // tpr], 0, t % tpr),
+            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
+    nargs = prefetch
+    batch_spec = lambda rows: pl.BlockSpec(
+        (1, rows, bt), lambda k, ph, t, *a: (k, 0, t), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda k, ph, t, *a: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=prefetch,
+        grid=(K, 2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k, ph, t, *a: (0, 0),
+                         memory_space=pltpu.SMEM),
+            data_spec(None), batch_spec(4),
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+        ],
+        out_specs=[
+            full((WROWS, H)), full((VROWS, H)),
+            full((WROWS, H)), full((WROWS, H)),
+            full((VROWS, H)), full((VROWS, H)),
+            pl.BlockSpec((1, 8, 128), lambda k, ph, t, *a: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROWS, H), f32),
+            pltpu.VMEM((VROWS, H), f32),
+            pltpu.SMEM((4,), f32),
+        ],
+    )
+
+    body = ((lambda idx_ref, *refs: kernel(*refs)) if prefetch else kernel)
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((WROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((VROWS, H), f32),
+            jax.ShapeDtypeStruct((K, 8, 128), f32),
+        ],
+        # the six param operands alias the six outputs (offset by the
+        # scalar-prefetch operand + scal + data + noise)
+        input_output_aliases={nargs + 3 + i: i for i in range(6)},
+        # v5e has 128 MiB of VMEM; the compiler's default scoped limit is
+        # 16 MiB.  The resident params+moments (12.2 MiB) plus per-tile
+        # activations want more headroom at larger K/tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*extra, scal, data, noise, f.w, f.vec, f.mw, f.vw, f.mvec, f.vvec)
+
+    w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
+    losses = losses3[:, 0, :2]
+    f2 = FusedState(w=w2, vec=vec2, mw=mw2, mvec=mvec2, vw=vw2, vvec=vvec2,
+                    count=f.count + K)
+    return f2, losses[:, 0], losses[:, 1]
+
+
+def fused_update_k_wmat(f: FusedState, ring, row_idx, noises, **kw):
+    """K SAC updates on the cached kernel-layout state, sampling the replay
+    ring in-kernel.  The zero-copy production path (models/sac.py)."""
+    return _kernel_call(f, ring, row_idx, noises,
+                        **{"block": 2048, "interpret": False, "mm_bf16": True, **kw})
+
+
+def fused_update_k_wmat_batches(f: FusedState, batches, noises, **kw):
+    """Same, on explicitly gathered (K, B) Transition minibatches."""
+    obs_dim = kw["obs_dim"]
+    data = pack_slab(batches, obs_dim, 2).astype(jnp.float32)  # (K, W, B)
+    return _kernel_call(f, data, None, noises,
+                        **{"block": 2048, "interpret": False, "mm_bf16": True, **kw})
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("obs_dim", "gamma", "tau", "lr", "target_entropy",
@@ -696,84 +874,20 @@ def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
                    target_entropy: float, alpha_floor: float = 0.0,
                    block: int = 512, interpret: bool = False,
                    mm_bf16: bool = True):
-    """K sequential SAC updates in one Pallas kernel launch.
+    """K sequential SAC updates in one Pallas kernel launch (PackedParams
+    boundary; tests and one-off callers — the trainer keeps a FusedState and
+    calls fused_update_k_wmat* to skip the pack/unpack).
 
     batches: Transition with leading (K, B); noises: (K, B, 2, 2) as in
     update_k_reference.  Returns (packed', adam', critic_losses (K,),
     actor_losses (K,))."""
-    K, B = batches.reward.shape
-    bt = min(block, B)
-    if B % bt:
-        raise ValueError(f"batch {B} not divisible by block {bt}")
-    n_tiles = B // bt
-
-    f32 = jnp.float32
-    data = pack_slab(batches, obs_dim, 2).astype(f32)   # (K, W, B), lanes minor
-    W = data.shape[1]
-    noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
-
-    w, vec = pack_wmat(packed)
-    mw, mvec = pack_wmat(adam.m)
-    vw, vvec = pack_wmat(adam.v)
-    scal = jnp.asarray([[
-        gamma, tau, lr, target_entropy, adam.count.astype(f32),
-        jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
-    ]], f32)
-
-    kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
-    # feature-major tiles: block (1, rows, bt) over the lanes-minor operands
-    batch_spec = lambda rows: pl.BlockSpec(
-        (1, rows, bt), lambda k, ph, t: (k, 0, t), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda k, ph, t: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(K, 2, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda k, ph, t: (0, 0), memory_space=pltpu.SMEM),
-            batch_spec(W), batch_spec(4),
-            full((WROWS, H)), full((VROWS, H)),
-            full((WROWS, H)), full((WROWS, H)),
-            full((VROWS, H)), full((VROWS, H)),
-        ],
-        out_specs=[
-            full((WROWS, H)), full((VROWS, H)),
-            full((WROWS, H)), full((WROWS, H)),
-            full((VROWS, H)), full((VROWS, H)),
-            pl.BlockSpec((1, 8, 128), lambda k, ph, t: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((K, 8, 128), f32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((GROWS, H), f32),
-            pltpu.VMEM((VROWS, H), f32),
-            pltpu.SMEM((4,), f32),
-        ],
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5},
-        # v5e has 128 MiB of VMEM; the compiler's default scoped limit is
-        # 16 MiB.  The resident params+moments (12.2 MiB) plus per-tile
-        # activations want more headroom at larger K/tiles.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(scal, data, noise, w, vec, mw, vw, mvec, vvec)
-
-    w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
-    losses = losses3[:, 0, :2]
-    packed2 = unpack_wmat(w2, vec2)
-    adam2 = PackedAdam(
-        m=unpack_wmat(mw2, mvec2), v=unpack_wmat(vw2, vvec2),
-        count=adam.count + K,
-    )
-    return packed2, adam2, losses[:, 0], losses[:, 1]
+    f = fused_init(packed, adam)
+    f2, closs, aloss = fused_update_k_wmat_batches(
+        f, batches, noises, obs_dim=obs_dim, gamma=gamma, tau=tau, lr=lr,
+        target_entropy=target_entropy, alpha_floor=alpha_floor, block=block,
+        interpret=interpret, mm_bf16=mm_bf16)
+    packed2, adam2 = fused_unpack(f2)
+    return packed2, adam2, closs, aloss
 
 
 @functools.partial(
@@ -787,110 +901,17 @@ def fused_update_k_from_replay(packed: PackedParams, adam: PackedAdam,
                                target_entropy: float, alpha_floor: float = 0.0,
                                block: int = 512, interpret: bool = False,
                                mm_bf16: bool = True):
-    """K sequential SAC updates sampling the replay buffer IN-KERNEL.
-
-    Row-granular TPU sampling: XLA gathers from a (rows, lanes, ...) HBM
-    replay are pathologically slow (~11 ms for 262K transitions — slower than
-    the whole K-update kernel), so instead the row indices are scalar-
-    prefetched and each grid step's BlockSpec index_map points straight at
-    its replay row — Pallas double-buffers the DMA behind compute and the
-    gather disappears entirely.  Same sampling law as
-    models/replay.py::replay_sample_rows (uniform rows with replacement).
+    """K sequential SAC updates sampling the replay buffer IN-KERNEL, from
+    the PackedParams boundary (see fused_update_k docstring and _kernel_call
+    for the sampling mechanics).
 
     data: the packed (rows, W, lanes) ReplayState.data ring (f32, lanes
-    minor — streamed as-is, the matmul bf16 cast happens per-tile in-kernel);
-    row_idx: (K * B//lanes,) int32 rows (caller bounds by `filled`); noises:
-    (K, B, 2, 2).  B = rows-per-minibatch * lanes.
-    """
-    K = noises.shape[0]
-    B = noises.shape[1]
-    R, W, L = data.shape
-    rpb, rem = divmod(B, L)
-    if rem:
-        raise ValueError(f"batch {B} must be a multiple of lanes {L}")
-    if row_idx.shape != (K * rpb,):
-        raise ValueError(f"row_idx {row_idx.shape} != ({K * rpb},)")
-    bt = min(block, L)
-    if L % bt:
-        raise ValueError(f"lanes {L} not divisible by block {bt}")
-    tpr = L // bt                 # tiles per replay row
-    n_tiles = rpb * tpr           # tiles per minibatch
-
-    f32 = jnp.float32
-    noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
-
-    w, vec = pack_wmat(packed)
-    mw, mvec = pack_wmat(adam.m)
-    vw, vvec = pack_wmat(adam.v)
-    scal = jnp.asarray([[
-        gamma, tau, lr, target_entropy, adam.count.astype(f32),
-        jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
-    ]], f32)
-
-    kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
-    # replay-row spec: block (1, W, bt) whose ROW index comes from the
-    # scalar-prefetched sample; tile t of minibatch k covers lane-block
-    # t % tpr of replay row row_idx[k*rpb + t//tpr].
-    replay_spec = pl.BlockSpec(
-        (1, W, bt),
-        lambda k, ph, t, idx: (idx[k * rpb + t // tpr], 0, t % tpr),
-        memory_space=pltpu.VMEM)
-    batch_spec = lambda rows: pl.BlockSpec(
-        (1, rows, bt), lambda k, ph, t, idx: (k, 0, t), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda k, ph, t, idx: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(K, 2, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda k, ph, t, idx: (0, 0),
-                         memory_space=pltpu.SMEM),
-            replay_spec, batch_spec(4),
-            full((WROWS, H)), full((VROWS, H)),
-            full((WROWS, H)), full((WROWS, H)),
-            full((VROWS, H)), full((VROWS, H)),
-        ],
-        out_specs=[
-            full((WROWS, H)), full((VROWS, H)),
-            full((WROWS, H)), full((WROWS, H)),
-            full((VROWS, H)), full((VROWS, H)),
-            pl.BlockSpec((1, 8, 128), lambda k, ph, t, idx: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((GROWS, H), f32),
-            pltpu.VMEM((VROWS, H), f32),
-            pltpu.SMEM((4,), f32),
-        ],
-    )
-
-    out = pl.pallas_call(
-        # the scalar-prefetch ref arrives as the first argument; the kernel
-        # body never reads it (the index_maps consume it)
-        lambda idx_ref, *refs: kernel(*refs),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((WROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((VROWS, H), f32),
-            jax.ShapeDtypeStruct((K, 8, 128), f32),
-        ],
-        # +1 for the scalar-prefetch operand at index 0
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(row_idx.astype(jnp.int32), scal, data, noise,
-      w, vec, mw, vw, mvec, vvec)
-
-    w2, vec2, mw2, vw2, mvec2, vvec2, losses3 = out
-    losses = losses3[:, 0, :2]
-    packed2 = unpack_wmat(w2, vec2)
-    adam2 = PackedAdam(
-        m=unpack_wmat(mw2, mvec2), v=unpack_wmat(vw2, vvec2),
-        count=adam.count + K,
-    )
-    return packed2, adam2, losses[:, 0], losses[:, 1]
+    minor); row_idx: (K * B//lanes,) int32 rows (caller bounds by `filled`);
+    noises: (K, B, 2, 2).  B = rows-per-minibatch * lanes."""
+    f = fused_init(packed, adam)
+    f2, closs, aloss = fused_update_k_wmat(
+        f, data, row_idx, noises, obs_dim=obs_dim, gamma=gamma, tau=tau,
+        lr=lr, target_entropy=target_entropy, alpha_floor=alpha_floor,
+        block=block, interpret=interpret, mm_bf16=mm_bf16)
+    packed2, adam2 = fused_unpack(f2)
+    return packed2, adam2, closs, aloss

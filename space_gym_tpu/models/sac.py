@@ -61,6 +61,15 @@ class SACConfig(NamedTuple):
 
 
 class SACState(NamedTuple):
+    """Full training state.
+
+    With cfg.fused_updates the CANONICAL learner state is `fused` (the
+    kernel-layout FusedState; re-packing the flax trees each iter cost
+    ~2.4 ms).  `actor_params` and `log_alpha` are refreshed from it every
+    train_iter (rollouts/eval need them); `critic_params`,
+    `target_critic_params` and the *_opt states then remain at their init
+    snapshot — read critics through models.fused_sac.fused_unpack instead."""
+
     actor_params: dict
     critic_params: dict
     target_critic_params: dict
@@ -72,6 +81,7 @@ class SACState(NamedTuple):
     obs: jax.Array              # (lanes, obs_dim)
     replay: ReplayState
     step: jax.Array             # () int32 train_iter counter
+    fused: object = None        # FusedState when cfg.fused_updates else None
 
 
 class SACTrainer:
@@ -99,6 +109,7 @@ class SACTrainer:
 
         self.init = jax.jit(self._init)
         self.train_iter = jax.jit(self._train_iter)
+        self.train_iters = jax.jit(self._train_iters, static_argnames="n")
         self.act = jax.jit(self._act)
         self.eval_act = jax.jit(self._eval_act)
 
@@ -112,7 +123,15 @@ class SACTrainer:
         critic_params = self.critic.init(k_critic, dummy_obs, dummy_act)
         log_alpha = jnp.asarray(jnp.log(c.init_alpha), jnp.float32)
         env_state, obs = self.engine._reset_batched(k_env, c.lanes)
+        fused = None
+        if c.fused_updates:
+            from . import fused_sac as fs
+
+            packed = fs.pack_params(
+                actor_params, critic_params, critic_params, log_alpha)
+            fused = fs.fused_init(packed, fs.adam_init(packed))
         return SACState(
+            fused=fused,
             actor_params=actor_params,
             critic_params=critic_params,
             target_critic_params=critic_params,
@@ -223,87 +242,66 @@ class SACTrainer:
         return state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
 
     def _update_fused(self, state: SACState, key: jax.Array):
-        """All K updates through models/fused_sac (one kernel launch on TPU;
-        the packed pure-jax reference elsewhere)."""
+        """All K updates through models/fused_sac: one kernel launch on TPU
+        operating directly on the cached kernel-layout state (state.fused) —
+        no per-iter pack/unpack; the packed pure-jax reference elsewhere."""
         from . import fused_sac as fs
 
         c = self.cfg
         k_samp, k_noise = jax.random.split(key)
         total = c.updates_per_iter * c.batch_size
         lanes_r = state.replay.data.shape[2]
+        fstate = state.fused
         # On TPU, when minibatches are whole replay rows, skip the XLA-side
         # gather entirely: the kernel scalar-prefetches the row indices and
         # DMAs its tiles straight out of the replay ring (same sampling law
-        # as replay_sample_rows; see fused_sac.fused_update_k_from_replay).
+        # as replay_sample_rows; see fused_sac._kernel_call).
+        bt = min(c.fused_block, lanes_r)
         in_kernel_sampling = (
             jax.default_backend() == "tpu"
             and c.batch_size % lanes_r == 0
-            and lanes_r % min(c.fused_block, lanes_r) == 0
+            and lanes_r % bt == 0
+            and bt % 128 == 0  # Pallas lane-tile granularity
         )
-        if in_kernel_sampling:
-            rpb = c.batch_size // lanes_r
-            row_idx = jax.random.randint(
-                k_samp, (c.updates_per_iter * rpb,), 0,
-                jnp.maximum(state.replay.filled, 1))
-            batches = None
-        elif total % c.lanes == 0 and c.batch_size >= c.lanes:
-            big = replay_sample_rows(state.replay, k_samp, total)
-        else:
-            big = replay_sample(state.replay, k_samp, total)
-        if not in_kernel_sampling:
-            batches = jax.tree.map(
-                lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]), big
-            )
         noises = jax.random.normal(
             k_noise, (c.updates_per_iter, c.batch_size, 2, self.action_dim),
             jnp.float32,
-        )
-        packed = fs.pack_params(
-            state.actor_params, state.critic_params,
-            state.target_critic_params, state.log_alpha,
-        )
-        zeros_t = jax.tree.map(jnp.zeros_like, state.target_critic_params)
-        adam = fs.PackedAdam(
-            m=fs.pack_params(state.actor_opt[0].mu, state.critic_opt[0].mu,
-                             zeros_t, state.alpha_opt[0].mu),
-            v=fs.pack_params(state.actor_opt[0].nu, state.critic_opt[0].nu,
-                             zeros_t, state.alpha_opt[0].nu),
-            count=state.critic_opt[0].count,
         )
         args = dict(
             obs_dim=self.obs_dim, gamma=c.gamma, tau=c.tau, lr=c.lr,
             target_entropy=self.target_entropy, alpha_floor=c.alpha_floor,
         )
         if in_kernel_sampling:
-            packed, adam, closs, aloss = fs.fused_update_k_from_replay(
-                packed, adam, state.replay.data, row_idx, noises,
+            rpb = c.batch_size // lanes_r
+            row_idx = jax.random.randint(
+                k_samp, (c.updates_per_iter * rpb,), 0,
+                jnp.maximum(state.replay.filled, 1))
+            fstate, closs, aloss = fs.fused_update_k_wmat(
+                fstate, state.replay.data, row_idx, noises,
                 block=c.fused_block, **args)
-        elif jax.default_backend() == "tpu":
-            packed, adam, closs, aloss = fs.fused_update_k(
-                packed, adam, batches, noises, block=c.fused_block, **args)
         else:
-            packed, adam, closs, aloss = fs.update_k_reference(
-                packed, adam, batches, noises, **args)
-
-        actor_params, critic_params, target_params, log_alpha = fs.unpack_params(
-            packed, state.actor_params, state.critic_params)
-        m_a, m_c, _, m_la = fs.unpack_params(
-            adam.m, state.actor_params, state.critic_params)
-        v_a, v_c, _, v_la = fs.unpack_params(
-            adam.v, state.actor_params, state.critic_params)
-
-        def rebuild(opt_state, mu, nu):
-            inner = opt_state[0]._replace(count=adam.count, mu=mu, nu=nu)
-            return (inner,) + tuple(opt_state[1:])
+            if total % c.lanes == 0 and c.batch_size >= c.lanes:
+                big = replay_sample_rows(state.replay, k_samp, total)
+            else:
+                big = replay_sample(state.replay, k_samp, total)
+            batches = jax.tree.map(
+                lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]),
+                big,
+            )
+            if jax.default_backend() == "tpu":
+                fstate, closs, aloss = fs.fused_update_k_wmat_batches(
+                    fstate, batches, noises, block=c.fused_block, **args)
+            else:
+                packed, adam = fs.fused_unpack(fstate)
+                packed, adam, closs, aloss = fs.update_k_reference(
+                    packed, adam, batches, noises, **args)
+                fstate = fs.fused_init(packed, adam)
 
         state = state._replace(
-            actor_params=actor_params,
-            critic_params=critic_params,
-            target_critic_params=target_params,
-            log_alpha=log_alpha,
-            actor_opt=rebuild(state.actor_opt, m_a, v_a),
-            critic_opt=rebuild(state.critic_opt, m_c, v_c),
-            alpha_opt=rebuild(state.alpha_opt, m_la, v_la),
+            actor_params=fs.unpack_actor(
+                fstate.w, fstate.vec, self.obs_dim, self.action_dim),
+            log_alpha=fstate.vec[fs.V_MISC, fs.M_LA],
+            fused=fstate,
         )
         return state, {"critic_loss": closs[-1], "actor_loss": aloss[-1]}
 
@@ -319,9 +317,14 @@ class SACTrainer:
         # Gate updates on warmup so early iters are no-ops for the parameters
         # but keep a single compiled program.
         ready = replay.filled >= jnp.minimum(c.warmup_rows, c.replay_rows)
+        # In fused mode the canonical learner state is `fused`; the flax
+        # critic/opt fields stay at their init snapshot and need no masking.
         learner_fields = (
-            "actor_params", "critic_params", "target_critic_params",
-            "log_alpha", "actor_opt", "critic_opt", "alpha_opt",
+            ("actor_params", "log_alpha", "fused")
+            if c.fused_updates else (
+                "actor_params", "critic_params", "target_critic_params",
+                "log_alpha", "actor_opt", "critic_opt", "alpha_opt",
+            )
         )
 
         def gate(new_state, old_state):
@@ -352,3 +355,16 @@ class SACTrainer:
             alpha=jnp.exp(state.log_alpha),
         )
         return state._replace(step=state.step + 1), metrics
+
+    def _train_iters(self, state: SACState, key: jax.Array, n: int):
+        """n train_iters in ONE device program (lax.scan).
+
+        Each host->device dispatch costs ~1.1 ms of tunnel latency on this
+        setup — >10% of a fused train_iter.  Scanning amortizes it to
+        ~1.1/n ms; returns the last iteration's metrics."""
+
+        def body(s, k):
+            return self._train_iter(s, k)
+
+        state, ms = jax.lax.scan(body, state, jax.random.split(key, n))
+        return state, jax.tree.map(lambda x: x[-1], ms)

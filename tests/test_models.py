@@ -166,3 +166,25 @@ def test_graft_entry_single_chip():
     jax.block_until_ready(out)
     env_state, obs, reward = out
     assert obs.ndim == 2 and np.isfinite(np.asarray(reward)).all()
+
+
+def test_sac_train_iters_scan_matches_structure():
+    """train_iters (n iterations scanned into one program) advances the state
+    like n train_iter calls: step += n, fused Adam count += n*K, finite
+    metrics, unchanged pytree structure."""
+    import space_gym_tpu
+    from space_gym_tpu.engine.core import EnvEngine
+    from space_gym_tpu.models.sac import SACConfig, SACTrainer
+
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    cfg = SACConfig(lanes=16, rollout_len=4, replay_rows=16, batch_size=32,
+                    updates_per_iter=2, warmup_rows=4, fused_updates=True,
+                    fused_block=32)
+    tr = SACTrainer(eng, cfg)
+    st = tr.init(jax.random.key(0))
+    tpl = jax.tree.structure(st)
+    st, m = tr.train_iters(st, jax.random.key(1), n=3)
+    assert jax.tree.structure(st) == tpl
+    assert int(st.step) == 3
+    assert int(st.fused.count) == 3 * cfg.updates_per_iter
+    assert all(np.isfinite(float(np.asarray(v))) for v in m.values())

@@ -95,6 +95,9 @@ def main():
         t_updk = timeit(updk_fn, state, key)
         print(f"fused K updates      : {t_updk*1e3:8.2f} ms  "
               f"(K={cfg.updates_per_iter}, block={cfg.fused_block})")
+        t_scan = timeit(lambda s, k: tr.train_iters(s, k, n=10), state, key) / 10
+        print(f"train_iters scan(10) : {t_scan*1e3:8.2f} ms/iter  "
+              f"({steps_per_iter/t_scan/1e6:6.2f}M env-steps/s)")
     else:
         upd1 = jax.jit(lambda s, k: tr._update_once(s, k))
         t_upd1 = timeit(upd1, state, key)

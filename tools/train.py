@@ -84,11 +84,19 @@ def main():
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-every", type=int, default=5)
+    ap.add_argument("--scan-chunk", type=int, default=25,
+                    help="SAC: iterations per device program (lax.scan); "
+                         "amortizes per-dispatch tunnel latency")
     ap.add_argument("--physics", default=None,
                     help="engine physics mode; default: pallas on TPU, fixed elsewhere")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize force-registers the TPU platform; the env
+        # var alone is not honored (see CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     import space_gym_tpu
@@ -135,22 +143,36 @@ def main():
     else:
         eval_params = lambda st: st.actor_params
     eval_run = None
-    for i in range(args.iters):
+    # SAC exposes train_iters (n iterations scanned into ONE device program);
+    # each dispatch through the axon tunnel costs ~1-3 ms, which is >30% of a
+    # fused train_iter.  Chunks end exactly on log/eval boundaries.
+    has_scan = hasattr(trainer, "train_iters") and args.scan_chunk > 1
+    i = 0
+    while i < args.iters:
+        nb = ((i // args.log_every) + 1) * args.log_every
+        if args.eval_every:
+            nb = min(nb, ((i // args.eval_every) + 1) * args.eval_every)
+        nb = min(nb, args.iters)
+        n = max(1, min(args.scan_chunk, nb - i)) if has_scan else 1
         key, k_iter = jax.random.split(key)
-        state, metrics = trainer.train_iter(state, k_iter)
+        if n > 1:
+            state, metrics = trainer.train_iters(state, k_iter, n=n)
+        else:
+            state, metrics = trainer.train_iter(state, k_iter)
         reward = float(np.asarray(metrics["mean_reward"]))  # sync point
-        meter.tick(steps_per_iter)
-        if i % args.log_every == 0:
+        meter.tick(n * steps_per_iter)
+        i += n
+        if i % args.log_every == 0 or i >= args.iters:
             m = {k: round(float(np.asarray(v)), 4) for k, v in metrics.items()}
             print(
                 json.dumps(
-                    dict(iter=i, env_steps=(i + 1) * steps_per_iter,
+                    dict(iter=i, env_steps=i * steps_per_iter,
                          steps_per_s=round(meter.rate, 0) if meter.rate == meter.rate else None,
                          **m)
                 ),
                 flush=True,
             )
-        if args.eval_every and (i + 1) % args.eval_every == 0:
+        if args.eval_every and i % args.eval_every == 0:
             if eval_run is None:
                 eval_run = make_eval(trainer, args.eval_steps)
             key, k_ev = jax.random.split(key)
