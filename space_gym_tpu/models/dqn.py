@@ -62,6 +62,7 @@ class DQNTrainer:
 
         self.init = jax.jit(self._init)
         self.train_iter = jax.jit(self._train_iter)
+        self.train_iters = jax.jit(self._train_iters, static_argnames="n")
         self.eval_act = jax.jit(
             lambda p, o: jnp.argmax(self.qnet.apply(p, o), axis=-1).astype(jnp.int32)
         )
@@ -145,6 +146,14 @@ class DQNTrainer:
             state._replace(params=params, target_params=target, opt=opt, n_updates=n_updates),
             {"loss": loss},
         )
+
+    def _train_iters(self, state: DQNState, key: jax.Array, n: int):
+        """n train_iters in ONE device program (lax.scan) — amortizes the
+        ~1-3 ms per-dispatch tunnel latency (see SACTrainer._train_iters).
+        Returns the last iteration's metrics."""
+        state, ms = jax.lax.scan(
+            lambda s, k: self._train_iter(s, k), state, jax.random.split(key, n))
+        return state, jax.tree.map(lambda x: x[-1], ms)
 
     def _train_iter(self, state: DQNState, key: jax.Array):
         c = self.cfg

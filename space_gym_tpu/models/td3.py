@@ -66,6 +66,7 @@ class TD3Trainer:
 
         self.init = jax.jit(self._init)
         self.train_iter = jax.jit(self._train_iter)
+        self.train_iters = jax.jit(self._train_iters, static_argnames="n")
         self.act = jax.jit(self._act)
         self.eval_act = jax.jit(lambda p, o: self.actor.apply(p, o))
 
@@ -179,6 +180,14 @@ class TD3Trainer:
             n_updates=state.n_updates + 1,
         )
         return state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
+
+    def _train_iters(self, state: TD3State, key: jax.Array, n: int):
+        """n train_iters in ONE device program (lax.scan) — amortizes the
+        ~1-3 ms per-dispatch tunnel latency (see SACTrainer._train_iters).
+        Returns the last iteration's metrics."""
+        state, ms = jax.lax.scan(
+            lambda s, k: self._train_iter(s, k), state, jax.random.split(key, n))
+        return state, jax.tree.map(lambda x: x[-1], ms)
 
     def _train_iter(self, state: TD3State, key: jax.Array):
         c = self.cfg

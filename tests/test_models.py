@@ -188,3 +188,31 @@ def test_sac_train_iters_scan_matches_structure():
     assert int(st.step) == 3
     assert int(st.fused.count) == 3 * cfg.updates_per_iter
     assert all(np.isfinite(float(np.asarray(v))) for v in m.values())
+
+
+def test_sharded_fused_train_step():
+    """Fused-learner SAC over the 8-virtual-device mesh: the packed replay
+    ring shards lanes-minor along "data", the FusedState wmat replicates, and
+    train_iters scans under the mesh (CPU reference fallback for the kernel)."""
+    from space_gym_tpu.parallel import make_mesh, place, trainer_state_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model_parallel=1)
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = SACTrainer(
+        eng,
+        SACConfig(lanes=32, rollout_len=4, replay_rows=16, batch_size=64,
+                  updates_per_iter=2, warmup_rows=4, fused_updates=True,
+                  fused_block=64),
+    )
+    st = tr.init(jax.random.key(0))
+    sh = trainer_state_shardings(st, mesh, 1)
+    st = place(st, sh)
+    with mesh:
+        st, m = tr.train_iters(st, jax.random.key(1), n=3)
+    assert np.isfinite(float(m["critic_loss"]))
+    assert int(st.step) == 3 and int(st.fused.count) == 6
+    # replay ring sharded on the minor lanes axis; fused wmat replicated
+    assert st.replay.data.sharding.spec[2] == "data"
+    assert all(s is None for s in (st.fused.w.sharding.spec or [None]))
