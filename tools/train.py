@@ -132,7 +132,32 @@ def main():
 
     state = trainer.init(jax.random.key(args.seed))
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
-        state = ckpt.restore(args.ckpt, state)
+        try:
+            state = ckpt.restore(args.ckpt, state)
+        except Exception:
+            # pre-FusedState checkpoint (no `fused` field): restore the flax
+            # snapshot through a fused-less dict template, then rebuild the
+            # kernel-layout state from it — the optax states carry the Adam
+            # moments.
+            tpl = {f: getattr(state, f) for f in state._fields if f != "fused"}
+            state = state._replace(fused=None, **ckpt.restore(args.ckpt, tpl))
+        if args.algo == "sac" and args.fused and state.fused is None:
+            from space_gym_tpu.models import fused_sac as fs
+
+            packed = fs.pack_params(
+                state.actor_params, state.critic_params,
+                state.target_critic_params, state.log_alpha)
+            zeros_t = jax.tree.map(
+                lambda x: np.zeros_like(x), state.target_critic_params)
+            adam = fs.PackedAdam(
+                m=fs.pack_params(state.actor_opt[0].mu, state.critic_opt[0].mu,
+                                 zeros_t, state.alpha_opt[0].mu),
+                v=fs.pack_params(state.actor_opt[0].nu, state.critic_opt[0].nu,
+                                 zeros_t, state.alpha_opt[0].nu),
+                count=state.critic_opt[0].count,
+            )
+            state = state._replace(fused=fs.fused_init(packed, adam))
+            print("migrated pre-FusedState checkpoint to kernel layout")
         print(f"resumed from {args.ckpt} at step {int(np.asarray(state.step))}")
 
     meter = ThroughputMeter()
