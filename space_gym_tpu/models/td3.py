@@ -34,9 +34,18 @@ class TD3Config(NamedTuple):
     policy_delay: int = 2        # actor/target update every k-th critic update
     hidden: tuple = (256, 256)
     warmup_rows: int = 32
+    # Fused learner (models/fused_td3): all K updates in one Pallas kernel,
+    # kernel-layout state cached across iters (pure-jax fallback off TPU).
+    fused_updates: bool = False
+    fused_block: int = 2048
 
 
 class TD3State(NamedTuple):
+    """With cfg.fused_updates the CANONICAL learner state is `fused`
+    (models.fused_td3.FusedState); actor_params and n_updates are refreshed
+    from it each train_iter, the remaining flax/opt fields stay at their init
+    snapshot (read them through fused_td3.fused_unpack)."""
+
     actor_params: dict
     target_actor_params: dict
     critic_params: dict
@@ -48,6 +57,7 @@ class TD3State(NamedTuple):
     replay: object
     n_updates: jax.Array  # () int32 critic-update counter (for the delay)
     step: jax.Array
+    fused: object = None  # fused_td3.FusedState when cfg.fused_updates
 
 
 class TD3Trainer:
@@ -78,7 +88,15 @@ class TD3Trainer:
         actor_params = self.actor.init(k_actor, dummy_obs)
         critic_params = self.critic.init(k_critic, dummy_obs, dummy_act)
         env_state, obs = self.engine._reset_batched(k_env, c.lanes)
+        fused = None
+        if c.fused_updates:
+            from . import fused_td3 as ft
+
+            packed = ft.pack_params(actor_params, actor_params,
+                                    critic_params, critic_params)
+            fused = ft.fused_init(packed, ft.adam_init(packed))
         return TD3State(
+            fused=fused,
             actor_params=actor_params,
             target_actor_params=actor_params,
             critic_params=critic_params,
@@ -181,6 +199,69 @@ class TD3Trainer:
         )
         return state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
 
+
+    def _update_fused(self, state: TD3State, key: jax.Array):
+        """All K updates through models/fused_td3 (one kernel launch on TPU
+        operating on the cached kernel-layout state; packed-jax reference
+        elsewhere).  Sampling law: whole replay rows (in-kernel via scalar
+        prefetch when shapes allow, like the SAC path)."""
+        from . import fused_td3 as ft
+        from .replay import replay_sample_rows, unpack_flat  # noqa: F401
+
+        c = self.cfg
+        k_samp, k_noise = jax.random.split(key)
+        total = c.updates_per_iter * c.batch_size
+        lanes_r = state.replay.data.shape[2]
+        fstate = state.fused
+        bt = min(c.fused_block, lanes_r)
+        in_kernel_sampling = (
+            jax.default_backend() == "tpu"
+            and c.batch_size % lanes_r == 0
+            and lanes_r % bt == 0
+            and bt % 128 == 0
+        )
+        noises = jax.random.normal(
+            k_noise, (c.updates_per_iter, c.batch_size, self.action_dim),
+            jnp.float32)
+        args = dict(
+            obs_dim=self.obs_dim, gamma=c.gamma, tau=c.tau, lr=c.lr,
+            smooth_std=c.smooth_std, smooth_clip=c.smooth_clip,
+            policy_delay=c.policy_delay,
+        )
+        if in_kernel_sampling:
+            rpb = c.batch_size // lanes_r
+            row_idx = jax.random.randint(
+                k_samp, (c.updates_per_iter * rpb,), 0,
+                jnp.maximum(state.replay.filled, 1))
+            fstate, closs, aloss = ft.fused_update_k_wmat(
+                fstate, state.replay.data, row_idx, noises,
+                block=c.fused_block, **args)
+        else:
+            if total % c.lanes == 0 and c.batch_size >= c.lanes:
+                big = replay_sample_rows(state.replay, k_samp, total)
+            else:
+                big = replay_sample(state.replay, k_samp, total)
+            batches = jax.tree.map(
+                lambda x: x.reshape(c.updates_per_iter, c.batch_size, *x.shape[1:]),
+                big,
+            )
+            if jax.default_backend() == "tpu":
+                fstate, closs, aloss = ft.fused_update_k_wmat_batches(
+                    fstate, batches, noises, block=c.fused_block, **args)
+            else:
+                packed, adam = ft.fused_unpack(fstate)
+                packed, adam, closs, aloss = ft.update_k_reference(
+                    packed, adam, batches, noises, **args)
+                fstate = ft.fused_init(packed, adam)
+
+        state = state._replace(
+            actor_params=ft.unpack_actor(
+                fstate.w, fstate.vec, self.obs_dim, self.action_dim),
+            n_updates=fstate.count,
+            fused=fstate,
+        )
+        return state, {"critic_loss": closs[-1], "actor_loss": aloss[-1]}
+
     def _train_iters(self, state: TD3State, key: jax.Array, n: int):
         """n train_iters in ONE device program (lax.scan) — amortizes the
         ~1-3 ms per-dispatch tunnel latency (see SACTrainer._train_iters).
@@ -199,20 +280,31 @@ class TD3Trainer:
         metrics = {}
         ready = replay.filled >= jnp.minimum(c.warmup_rows, c.replay_rows)
         learner_fields = (
-            "actor_params", "target_actor_params", "critic_params",
-            "target_critic_params", "actor_opt", "critic_opt", "n_updates",
+            ("actor_params", "n_updates", "fused")
+            if c.fused_updates else (
+                "actor_params", "target_actor_params", "critic_params",
+                "target_critic_params", "actor_opt", "critic_opt", "n_updates",
+            )
         )
-        for _ in range(c.updates_per_iter):
-            k_upd, k_i = jax.random.split(k_upd)
-            new_state, m = self._update_once(state, k_i)
-            state = state._replace(**{
+
+        def gate(new_state, old_state):
+            return old_state._replace(**{
                 f: jax.tree.map(
                     lambda n, o: jnp.where(ready, n, o),
                     getattr(new_state, f),
-                    getattr(state, f),
+                    getattr(old_state, f),
                 )
                 for f in learner_fields
             })
-            metrics = m
+
+        if c.fused_updates:
+            new_state, metrics = self._update_fused(state, k_upd)
+            state = gate(new_state, state)
+        else:
+            for _ in range(c.updates_per_iter):
+                k_upd, k_i = jax.random.split(k_upd)
+                new_state, m = self._update_once(state, k_i)
+                state = gate(new_state, state)
+                metrics = m
         metrics = dict(metrics, mean_reward=rewards.mean(), episodes_done=dones.sum())
         return state._replace(step=state.step + 1), metrics

@@ -126,7 +126,9 @@ def main():
             fused_block=min(2048, args.batch_size),
         ))
     elif args.algo == "td3":
-        trainer = TD3Trainer(eng, TD3Config(**kw))
+        trainer = TD3Trainer(eng, TD3Config(
+            **kw, fused_updates=args.fused,
+            fused_block=min(2048, args.batch_size)))
     else:
         trainer = DQNTrainer(eng, DQNConfig(**kw))
 
