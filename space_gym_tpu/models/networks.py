@@ -86,3 +86,29 @@ class DoubleCritic(nn.Module):
         q1 = MLP((*self.hidden, 1))(x)
         q2 = MLP((*self.hidden, 1))(x)
         return jnp.squeeze(q1, -1), jnp.squeeze(q2, -1)
+
+
+class GaussianActorValue(nn.Module):
+    """PPO actor-critic: diagonal Gaussian policy with STATE-INDEPENDENT
+    log_std (SB3 MlpPolicy default) + a separate value MLP, one module so a
+    single params tree serves both heads (SB3 shares the optimizer, not the
+    torso, under its default net_arch for Box spaces)."""
+
+    action_dim: int = 2
+    hidden: Sequence[int] = (64, 64)   # SB3 PPO MlpPolicy default width
+
+    @nn.compact
+    def __call__(self, obs):
+        h = MLP(self.hidden, activate_final=True)(obs)
+        mean = nn.Dense(self.action_dim)(h)
+        log_std = self.param(
+            "log_std", nn.initializers.zeros, (self.action_dim,))
+        hv = MLP(self.hidden, activate_final=True, name="vf")(obs)
+        value = nn.Dense(1, name="vhead")(hv)[..., 0]
+        return mean, jnp.broadcast_to(log_std, mean.shape), value
+
+
+def gaussian_logp(action, mean, log_std):
+    """Diagonal Gaussian log-density (no squash; PPO clips at the env)."""
+    z = (action - mean) * jnp.exp(-log_std)
+    return jnp.sum(-0.5 * z**2 - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)

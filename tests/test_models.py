@@ -216,3 +216,53 @@ def test_sharded_fused_train_step():
     # replay ring sharded on the minor lanes axis; fused wmat replicated
     assert st.replay.data.sharding.spec[2] == "data"
     assert all(s is None for s in (st.fused.w.sharding.spec or [None]))
+
+
+def test_ppo_gae_matches_numpy():
+    """GAE reverse scan vs an explicit numpy loop, including a mid-rollout
+    termination (no bootstrap) and a truncation (bootstraps final_value)."""
+    from space_gym_tpu.models.ppo import PPOConfig, PPOTrainer
+
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = PPOTrainer(eng, PPOConfig(lanes=128, rollout_len=8, epochs=1,
+                                   minibatches=2))
+    T, L = 6, 3
+    rng = np.random.default_rng(0)
+    reward = rng.normal(size=(T, L)).astype(np.float32)
+    value = rng.normal(size=(T, L)).astype(np.float32)
+    fval = rng.normal(size=(T, L)).astype(np.float32)
+    term = np.zeros((T, L), np.float32)
+    done = np.zeros((T, L), np.float32)
+    term[2, 0] = 1.0; done[2, 0] = 1.0          # termination lane 0 @ t2
+    done[4, 1] = 1.0                            # truncation lane 1 @ t4
+    data = {
+        "reward": jnp.asarray(reward), "value": jnp.asarray(value),
+        "final_value": jnp.asarray(fval),
+        "nonterm": jnp.asarray(1.0 - term), "nondone": jnp.asarray(1.0 - done),
+    }
+    adv, ret = jax.jit(tr._gae)(data)
+    g, lam = tr.cfg.gamma, tr.cfg.gae_lambda
+    want = np.zeros((T, L), np.float32)
+    nxt = np.zeros(L, np.float32)
+    for t in reversed(range(T)):
+        delta = reward[t] + g * (1 - term[t]) * fval[t] - value[t]
+        want[t] = delta + g * lam * (1 - done[t]) * nxt
+        nxt = want[t]
+    np.testing.assert_allclose(np.asarray(adv), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ret), want + value, rtol=1e-5, atol=1e-6)
+
+
+def test_ppo_trainer_smoke():
+    from space_gym_tpu.models.ppo import PPOConfig, PPOTrainer
+
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = PPOTrainer(eng, PPOConfig(lanes=128, rollout_len=8, epochs=2,
+                                   minibatches=4))
+    st = tr.init(jax.random.key(0))
+    p0 = jax.tree.leaves(st.params)[0].copy()
+    for i in range(3):
+        st, m = tr.train_iter(st, jax.random.key(i + 1))
+    assert all(np.isfinite(float(np.asarray(v))) for v in m.values())
+    assert not np.allclose(np.asarray(p0), np.asarray(jax.tree.leaves(st.params)[0]))
+    a = np.asarray(tr.eval_act(st.params, st.obs))
+    assert np.all(np.abs(a) <= 1.0)

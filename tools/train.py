@@ -57,7 +57,7 @@ def make_eval(trainer, n_steps: int, lanes: int = 256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="GoalContinuous2P-v0")
-    ap.add_argument("--algo", choices=["sac", "td3", "dqn"], default="sac")
+    ap.add_argument("--algo", choices=["sac", "td3", "dqn", "ppo"], default="sac")
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--lanes", type=int, default=4096)
     ap.add_argument("--rollout-len", type=int, default=32)
@@ -102,7 +102,8 @@ def main():
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
     from space_gym_tpu.models import (
-        DQNConfig, DQNTrainer, SACConfig, SACTrainer, TD3Config, TD3Trainer,
+        DQNConfig, DQNTrainer, PPOConfig, PPOTrainer, SACConfig, SACTrainer,
+        TD3Config, TD3Trainer,
     )
     from space_gym_tpu.utils import checkpoint as ckpt
     from space_gym_tpu.utils.profiling import ThroughputMeter
@@ -125,6 +126,10 @@ def main():
             fused_updates=args.fused,
             fused_block=min(2048, args.batch_size),
         ))
+    elif args.algo == "ppo":
+        trainer = PPOTrainer(eng, PPOConfig(
+            lanes=args.lanes, rollout_len=args.rollout_len, lr=args.lr,
+            gamma=args.gamma))
     elif args.algo == "td3":
         trainer = TD3Trainer(eng, TD3Config(
             **kw, fused_updates=args.fused,
@@ -165,7 +170,7 @@ def main():
     meter = ThroughputMeter()
     steps_per_iter = args.lanes * args.rollout_len
     key = jax.random.key(args.seed + 1)
-    if args.algo == "dqn":
+    if args.algo in ("dqn", "ppo"):
         eval_params = lambda st: st.params
     else:
         eval_params = lambda st: st.actor_params
