@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--env", default="GoalContinuous2P-v0")
-    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
+    ap.add_argument("--algo", choices=["sac", "td3", "ppo"], default="sac")
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/spacegym_replays")
@@ -42,14 +42,21 @@ def main():
 
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
-    from space_gym_tpu.models import SACConfig, SACTrainer, TD3Config, TD3Trainer
+    from space_gym_tpu.models import (
+        PPOConfig, PPOTrainer, SACConfig, SACTrainer, TD3Config, TD3Trainer,
+    )
     from space_gym_tpu.utils import checkpoint as ckpt
 
     eng = EnvEngine(space_gym_tpu.get_config(args.env))
     # Tiny trainer shell just to materialize the parameter template.
     kw = dict(lanes=16, rollout_len=4, replay_rows=8, batch_size=32, updates_per_iter=1)
-    trainer = (SACTrainer(eng, SACConfig(**kw)) if args.algo == "sac"
-               else TD3Trainer(eng, TD3Config(**kw)))
+    if args.algo == "ppo":
+        trainer = PPOTrainer(eng, PPOConfig(lanes=128, rollout_len=8,
+                                            epochs=1, minibatches=2))
+    else:
+        trainer = (SACTrainer(eng, SACConfig(**kw)) if args.algo == "sac"
+                   else TD3Trainer(eng, TD3Config(**kw)))
+    pfield = "params" if args.algo == "ppo" else "actor_params"
     template = trainer.init(jax.random.key(0))
     try:
         state = ckpt.restore(args.ckpt, template)
@@ -60,9 +67,9 @@ def main():
 
         with ocp.StandardCheckpointer() as c:
             raw = c.restore(os.path.abspath(args.ckpt), None)
-        state = template._replace(actor_params=jax.tree.map(
-            lambda x: x, raw["actor_params"]))
-    params = state.actor_params
+        state = template._replace(**{pfield: jax.tree.map(
+            lambda x: x, raw[pfield])})
+    params = getattr(state, pfield)
 
     env = space_gym_tpu.make(args.env)
     env.seed(args.seed)
