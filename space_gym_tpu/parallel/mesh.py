@@ -52,6 +52,7 @@ _PARAM_FIELDS = frozenset(
         "actor_params", "critic_params", "target_actor_params",
         "target_critic_params", "log_alpha", "actor_opt", "critic_opt",
         "alpha_opt", "n_updates", "step",
+        "params", "opt",  # DQNState / PPOState naming
     }
 )
 # Fields whose leaves carry a leading lanes axis.

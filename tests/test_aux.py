@@ -127,3 +127,42 @@ def test_renderer_golden_image():
     mismatched = (np.abs(frame - golden) > 8).any(-1)
     assert mismatched.mean() < 0.002, (
         f"{mismatched.sum()} pixels differ beyond tolerance")
+
+
+def test_keyboard_agent_key_mapping():
+    """Interactive path of the human-baseline agent, driven headlessly: key
+    press/release events map to the reference's discrete actions with the
+    reference's priority (engine > left > right > noop,
+    keyboard_agent.py:88-115), and the resulting actions drive the env."""
+    import sys, os, types
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from keyboard_agent import KeyState
+
+    ks = KeyState()
+    ev = lambda key: types.SimpleNamespace(key=key)
+    assert ks.current_action() == 0
+    ks.on_key(ev(" "), True)
+    assert ks.current_action() == 1                 # engine
+    ks.on_key(ev("left"), True)
+    assert ks.current_action() == 1                 # engine wins over left
+    ks.on_key(ev(" "), False)
+    assert ks.current_action() == 2                 # left
+    ks.on_key(ev("right"), True)
+    assert ks.current_action() == 2                 # left wins over right
+    ks.on_key(ev("left"), False)
+    assert ks.current_action() == 3                 # right
+    ks.on_key(ev("right"), False)
+    assert ks.current_action() == 0                 # noop
+    ks.on_key(ev("x"), True)
+    assert ks.current_action() == 0                 # unmapped keys ignored
+
+    # the mapped actions drive a real keyboard-agent env end to end
+    env = space_gym_tpu.make("GoalDiscrete3-v0", physics="host")
+    env.seed(0)
+    env.reset()
+    for key in (" ", "left", "right"):
+        ks.on_key(ev(key), True)
+        _, r, done, _ = env.step(ks.current_action())
+        assert np.isfinite(r) and not done
+        ks.on_key(ev(key), False)
+    env.close()

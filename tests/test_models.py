@@ -266,3 +266,26 @@ def test_ppo_trainer_smoke():
     assert not np.allclose(np.asarray(p0), np.asarray(jax.tree.leaves(st.params)[0]))
     a = np.asarray(tr.eval_act(st.params, st.obs))
     assert np.all(np.abs(a) <= 1.0)
+
+
+def test_sharded_ppo_train_step():
+    """PPO train step over the 8-virtual-device mesh: lanes shard along
+    "data" through rollout, GAE and the tile-permuted minibatch SGD; params
+    replicate (gradient all-reduce inserted by GSPMD)."""
+    from space_gym_tpu.models.ppo import PPOConfig, PPOTrainer
+    from space_gym_tpu.parallel import make_mesh, place, trainer_state_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model_parallel=1)
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = PPOTrainer(eng, PPOConfig(lanes=256, rollout_len=4, epochs=2,
+                                   minibatches=2))
+    st = tr.init(jax.random.key(0))
+    sh = trainer_state_shardings(st, mesh, 1)
+    st = place(st, sh)
+    with mesh:
+        st, m = tr.train_iters(st, jax.random.key(1), n=2)
+    assert np.isfinite(float(m["policy_loss"]))
+    assert int(st.step) == 2
+    assert st.env_state.y.sharding.spec[0] == "data"

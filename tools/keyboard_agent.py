@@ -29,6 +29,34 @@ if os.environ.get("JAX_PLATFORMS"):
 import space_gym_tpu
 
 
+class KeyState:
+    """Key-press state + discrete-action mapping of the interactive agent —
+    module-level (not closed over a figure) so the interactive path is
+    testable headlessly (tests/test_aux.py::test_keyboard_agent_key_mapping).
+    Same priority as the reference handler (keyboard_agent.py:88-115):
+    one discrete action at a time; engine wins, then thruster direction."""
+
+    def __init__(self):
+        self.pressed = {"engine": False, "left": False, "right": False}
+
+    def on_key(self, event, down: bool):
+        if event.key == " ":
+            self.pressed["engine"] = down
+        elif event.key == "left":
+            self.pressed["left"] = down
+        elif event.key == "right":
+            self.pressed["right"] = down
+
+    def current_action(self) -> int:
+        if self.pressed["engine"]:
+            return 1
+        if self.pressed["left"]:
+            return 2
+        if self.pressed["right"]:
+            return 3
+        return 0
+
+
 def rollout_human(env, episodes: int, fps: float):
     import matplotlib
 
@@ -37,26 +65,9 @@ def rollout_human(env, episodes: int, fps: float):
             "No display backend available — use `--policy random` headlessly."
         )
 
-    pressed = {"engine": False, "left": False, "right": False}
-
-    def on_key(event, down):
-        if event.key == " ":
-            pressed["engine"] = down
-        elif event.key == "left":
-            pressed["left"] = down
-        elif event.key == "right":
-            pressed["right"] = down
-
-    def current_action():
-        # Same priority as the reference handler (keyboard_agent.py:88-115):
-        # one discrete action at a time; engine wins, then thruster direction.
-        if pressed["engine"]:
-            return 1
-        if pressed["left"]:
-            return 2
-        if pressed["right"]:
-            return 3
-        return 0
+    keys = KeyState()
+    on_key = keys.on_key
+    current_action = keys.current_action
 
     returns = []
     for ep in range(episodes):
