@@ -131,6 +131,13 @@ def main():
 
     import jax
 
+    if args.smoke or os.environ.get("JAX_PLATFORMS"):
+        # --smoke is the CPU run; also honor an explicit JAX_PLATFORMS (the
+        # axon sitecustomize force-registers the TPU platform, and with the
+        # tunnel down even backend init would hang).
+        jax.config.update(
+            "jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
     eng, run = build(args.batch, args.steps, args.substeps)
     state, _ = eng.init(jax.random.key(0), args.batch)
 

@@ -166,3 +166,24 @@ def test_keyboard_agent_key_mapping():
         assert np.isfinite(r) and not done
         ks.on_key(ev(key), False)
     env.close()
+
+
+def test_bench_smoke_json_contract():
+    """bench.py --smoke must print ONE parseable JSON line with the driver's
+    required fields (the round harness consumes this)."""
+    import json as _json
+    import subprocess, sys, os
+
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--smoke"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, r.stdout
+    d = _json.loads(lines[0])
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in d, d
+    assert d["value"] > 0
