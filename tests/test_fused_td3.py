@@ -283,3 +283,42 @@ def test_kernel_bf16_close_to_reference_interpret():
         all_d.append(d.ravel())
     all_d = np.concatenate(all_d)
     assert (all_d <= 1e-4).mean() > 0.99, (all_d <= 1e-4).mean()
+
+
+def test_kernel_sequential_calls_odd_count_interpret():
+    """Two sequential kernel calls with K=3: the second starts at n_updates=3
+    (odd), exercising the in-kernel delayed-step offset arithmetic
+    (off = (-count0) mod delay) and the actor Adam count continuation."""
+    tr = make_trainer()
+    st = tr.init(jax.random.key(4))
+    obs_dim = tr.obs_dim
+    K, B, BT = 3, 64, 32
+    kb, kn = jax.random.split(jax.random.key(13))
+    args = (obs_dim, tr.cfg.gamma, tr.cfg.tau, tr.cfg.lr,
+            tr.cfg.smooth_std, tr.cfg.smooth_clip, tr.cfg.policy_delay)
+
+    packed_r = ft.pack_params(st.actor_params, st.target_actor_params,
+                              st.critic_params, st.target_critic_params)
+    adam_r = ft.adam_init(packed_r)
+    packed_k, adam_k = packed_r, adam_r
+
+    for call in range(2):
+        batches = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[rand_batch(jax.random.fold_in(kb, 10 * call + i), B, obs_dim)
+              for i in range(K)])
+        noises = jax.random.normal(
+            jax.random.fold_in(kn, call), (K, B, 2), jnp.float32)
+        packed_r, adam_r, _, _ = ft.update_k_reference(
+            packed_r, adam_r, batches, noises, *args)
+        packed_k, adam_k, _, _ = ft.fused_update_k(
+            packed_k, adam_k, batches, noises, *args, block=BT,
+            interpret=True, mm_bf16=False)
+
+    # delay=2, updates at n=0..5 -> actor applied at 0,2,4
+    assert int(adam_k.count) == int(adam_r.count) == 6
+    assert int(adam_k.count_a) == int(adam_r.count_a) == 3
+    for f in ft.PackedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(packed_k, f)), np.asarray(getattr(packed_r, f)),
+            rtol=3e-4, atol=3e-5, err_msg=f"param {f}")
