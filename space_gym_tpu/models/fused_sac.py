@@ -442,10 +442,9 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         # The six *_in refs alias the six *_ref outputs (input_output_aliases)
         # — same memory; all reads/writes go through the output refs.
         mmd = jnp.bfloat16 if mm_bf16 else None
-        # adt: FORWARD activation dtype.  With mm_bf16 the hidden activations
-        # (z1/h1/z2/h2) stay bf16 end to end — halves the VPU work on every
-        # (BT, 256) relu/bias/where and kills the per-matmul f32->bf16 input
-        # casts (measured ~25% of kernel time).  Heads, q-values, logp and all
+        # adt: POST-RELU activation dtype.  With mm_bf16 the h1/h2 live in
+        # bf16 so every consumer matmul (forward next layer AND backward
+        # weight grad) reads them cast-free.  Heads, q-values, logp and all
         # gradients remain f32 (MXU accumulation is f32 either way).
         adt = jnp.bfloat16 if mm_bf16 else jnp.float32
         dot = lambda a, b: _dot(a, b, mm_dtype=mmd)
