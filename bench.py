@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: vectorized env-steps/s on GoalContinuous2P-v0.
 
-Prints ONE JSON line:
+Prints ONE JSON line — ALWAYS, even when the TPU backend is unreachable:
   {"metric": "env_steps_per_s_goal2p", "value": N, "unit": "steps/s",
-   "vs_baseline": N / 2288.0}
+   "vs_baseline": N / 2288.0, ...roofline fields...}
+or, on persistent backend failure,
+  {"metric": ..., "value": 0.0, ..., "error": "<reason>"}
 
 Baseline 2288 steps/s is the reference-equivalent throughput measured on this
 machine's host CPU: the bitwise-parity adapter (space_gym_tpu.compat.gym_api,
@@ -16,19 +18,75 @@ The benchmark itself is the TPU path: the fused jit/vmap/scan engine
 (space_gym_tpu.engine) on the default backend, fixed-substep physics, f32,
 random policy, with only scalar reductions carried out of the scan (no
 trajectory materialization — this measures the simulator, not HBM spill).
+
+Robustness (the axon TPU tunnel is known to flake between sessions): backend
+init is probed in a SUBPROCESS with a timeout (an in-process init hang cannot
+be interrupted), retried with backoff, and the whole run sits under a
+SIGALRM watchdog so a mid-run wedge still produces the JSON error line.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 BASELINE_STEPS_PER_S = 2288.0
 ENV_ID = "GoalContinuous2P-v0"
+METRIC = "env_steps_per_s_goal2p"
 
 
-def build(batch: int, steps: int, substeps: int):
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):
+    raise BenchTimeout("watchdog alarm: bench exceeded its wall-clock budget")
+
+
+def probe_backend(timeout_s: float) -> str:
+    """Initialize the JAX backend in a subprocess and return its name.
+
+    A hung tunnel blocks backend init indefinitely and an in-process hang is
+    uninterruptible, so the first touch happens in a child we can kill.  A
+    successful probe also warms the tunnel, so the in-process init that
+    follows is fast.
+    """
+    code = (
+        "import jax, json; d = jax.devices()[0]; "
+        "print('SGT_PROBE ' + json.dumps("
+        "{'backend': jax.default_backend(), 'kind': d.device_kind}))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=timeout_s,
+        env=dict(os.environ),
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("SGT_PROBE "):
+            return json.loads(line[len("SGT_PROBE "):])["backend"]
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    raise RuntimeError(
+        "backend probe failed (rc=%d): %s" % (r.returncode, tail[-1] if tail else "?")
+    )
+
+
+def probe_backend_with_retry(tries: int, timeout_s: float, wait_s: float) -> str:
+    last = None
+    for i in range(tries):
+        try:
+            return probe_backend(timeout_s)
+        except (RuntimeError, subprocess.TimeoutExpired, OSError) as e:
+            last = e
+            if i + 1 < tries:
+                time.sleep(wait_s * (i + 1))
+    raise RuntimeError(f"backend unavailable after {tries} probes: {last}")
+
+
+def build(batch: int, steps: int, substeps: int, backend: str):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +97,7 @@ def build(batch: int, steps: int, substeps: int):
         space_gym_tpu.get_config(ENV_ID),
         # The fused component-major Pallas kernel is the production physics
         # path on TPU; tests pin it against the XLA "fixed" path.
-        physics="pallas" if jax.default_backend() == "tpu" else "fixed",
+        physics="fixed" if backend == "cpu" else "pallas",
         dtype=jnp.float32,
         substeps=substeps,
     )
@@ -60,11 +118,27 @@ def build(batch: int, steps: int, substeps: int):
     return eng, jax.jit(run, donate_argnums=(0,))
 
 
+# Approximate per-chip peaks for normalized utilization fields.  HBM numbers
+# are published; VPU f32 peaks are estimates (8 sublanes x 128 lanes x 4 ALUs
+# per core x cores/chip x clock) — order-of-magnitude normalizers so "81M
+# steps/s" can be judged against what the chip can do, not precise specs.
+_CHIP_TABLE = (
+    # tag in device_kind.lower() -> (hbm_bytes_per_s, vpu_f32_ops_per_s)
+    ("v5 lite", 819e9, 6.1e12),
+    ("v5e", 819e9, 6.1e12),
+    ("v5p", 2765e9, 14.3e12),
+    ("v4", 1228e9, 8.6e12),
+    ("v6e", 1640e9, 7.0e12),
+    ("v6", 1640e9, 7.0e12),
+)
+
+
 def roofline(eng, steps_per_s: float):
-    """Hardware-normalized framing (VERDICT r1 item 6): exact HBM bytes per
-    lane-step from the fused kernel's operand list, plus a static VPU-op
-    estimate, so the headline number can be judged against what the chip can
-    do (session-noise-robust, unlike raw steps/s).
+    """Hardware-normalized framing (VERDICT r1 item 6, r2 weak item 3):
+    exact HBM bytes per lane-step from the fused kernel's operand list plus a
+    static VPU-op estimate.  The workload is VPU-bound (HBM sits at ~4.5% of
+    roofline — RESULTS.md), so the honest utilization number is
+    pct_vpu_roofline: est VPU ops/s over the chip's approximate VPU f32 peak.
 
     The full-step kernel keeps all intermediates in VMEM; its HBM traffic is
     just per-lane state in/out + the bulk uniforms + the TimeStep outputs.
@@ -89,11 +163,10 @@ def roofline(eng, steps_per_s: float):
     bytes_per_step = 4 * (n_in + n_out)
 
     kind = jax.devices()[0].device_kind.lower()
-    hbm_bw = None
-    for tag, bw in (("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
-                    ("v4", 1228e9), ("v6", 1640e9)):
+    hbm_bw = vpu_peak = None
+    for tag, bw, vpu in _CHIP_TABLE:
         if tag in kind:
-            hbm_bw = bw
+            hbm_bw, vpu_peak = bw, vpu
             break
     # Static VPU-op estimate per lane-step (DP5 physics + events + obs/reward
     # + amortized reset; see ARCHITECTURE.md "per-lane-step decomposition").
@@ -104,6 +177,7 @@ def roofline(eng, steps_per_s: float):
         + 25 * d + 120                              # obs/reward/reset tail
     )
     out = {
+        "device_kind": kind,
         "hbm_bytes_per_step": bytes_per_step,
         "est_vpu_ops_per_step": est_ops,
     }
@@ -111,34 +185,36 @@ def roofline(eng, steps_per_s: float):
         out["pct_hbm_roofline"] = round(
             100.0 * steps_per_s * bytes_per_step / hbm_bw, 2
         )
+    if vpu_peak:
+        out["pct_vpu_roofline"] = round(
+            100.0 * steps_per_s * est_ops / vpu_peak, 2
+        )
     return out
 
 
-def main():
-    # Persistent compile cache: the fused-kernel jit is the dominant cold-run
-    # cost; repeated bench invocations on the same machine skip it.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32768)
-    ap.add_argument("--steps", type=int, default=256)
-    ap.add_argument("--substeps", type=int, default=2)
-    ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")
-    args = ap.parse_args()
-    if args.smoke:
-        args.batch, args.steps, args.repeats = 512, 64, 1
+def run_bench(args) -> dict:
+    # --smoke is the CPU run; an explicit JAX_PLATFORMS=cpu also forces CPU.
+    # NOTE the ambient environment sets JAX_PLATFORMS=axon (the TPU tunnel
+    # platform) — that is the NORMAL TPU path, not a CPU override; honoring it
+    # as one re-selects the tunnel and hangs when it is down.
+    env_plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    want_cpu = bool(args.smoke or env_plat == "cpu")
+    if want_cpu:
+        backend = "cpu"
+    else:
+        backend = probe_backend_with_retry(
+            tries=args.probe_tries, timeout_s=args.probe_timeout, wait_s=45.0
+        )
 
     import jax
 
-    if args.smoke or os.environ.get("JAX_PLATFORMS"):
-        # --smoke is the CPU run; also honor an explicit JAX_PLATFORMS (the
-        # axon sitecustomize force-registers the TPU platform, and with the
-        # tunnel down even backend init would hang).
-        jax.config.update(
-            "jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+    if want_cpu:
+        # The axon sitecustomize force-registers the TPU platform
+        # (jax_platforms defaults to "axon,cpu"); the config update after
+        # import is the only override that sticks (CLAUDE.md gotcha).
+        jax.config.update("jax_platforms", "cpu")
 
-    eng, run = build(args.batch, args.steps, args.substeps)
+    eng, run = build(args.batch, args.steps, args.substeps, backend)
     state, _ = eng.init(jax.random.key(0), args.batch)
 
     import numpy as np
@@ -158,14 +234,58 @@ def main():
         best = max(best, args.batch * args.steps / dt)
 
     payload = {
-        "metric": "env_steps_per_s_goal2p",
+        "metric": METRIC,
         "value": round(best, 1),
         "unit": "steps/s",
         "vs_baseline": round(best / BASELINE_STEPS_PER_S, 2),
     }
     payload.update(roofline(eng, best))
+    return payload
+
+
+def main():
+    # Persistent compile cache: the fused-kernel jit is the dominant cold-run
+    # cost; repeated bench invocations on the same machine skip it.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")
+    ap.add_argument("--probe-tries", type=int, default=4)
+    ap.add_argument("--probe-timeout", type=float, default=300.0,
+                    help="per-probe subprocess timeout (fresh Pallas compiles "
+                         "through the tunnel take ~4-5 min)")
+    ap.add_argument("--budget", type=float, default=2700.0,
+                    help="total wall-clock watchdog (s); on expiry the bench "
+                         "still prints a parseable JSON error line")
+    args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.steps, args.repeats = 512, 64, 1
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(int(args.budget))
+    try:
+        payload = run_bench(args)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
+        payload = {
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:600],
+        }
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
     print(json.dumps(payload))
+    # rc 0 even on error: the contract is one parseable line, and a non-zero
+    # rc makes some captures discard stdout.
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

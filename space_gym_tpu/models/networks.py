@@ -97,15 +97,24 @@ class GaussianActorValue(nn.Module):
     action_dim: int = 2
     hidden: Sequence[int] = (64, 64)   # SB3 PPO MlpPolicy default width
 
-    @nn.compact
-    def __call__(self, obs):
-        h = MLP(self.hidden, activate_final=True)(obs)
-        mean = nn.Dense(self.action_dim)(h)
-        log_std = self.param(
+    def setup(self):
+        # Explicit names keep the param tree identical to the original
+        # @nn.compact layout (checkpoint compatibility).
+        self.torso = MLP(self.hidden, activate_final=True, name="MLP_0")
+        self.mean_head = nn.Dense(self.action_dim, name="Dense_0")
+        self.log_std = self.param(
             "log_std", nn.initializers.zeros, (self.action_dim,))
-        hv = MLP(self.hidden, activate_final=True, name="vf")(obs)
-        value = nn.Dense(1, name="vhead")(hv)[..., 0]
-        return mean, jnp.broadcast_to(log_std, mean.shape), value
+        self.vf = MLP(self.hidden, activate_final=True, name="vf")
+        self.vhead = nn.Dense(1, name="vhead")
+
+    def __call__(self, obs):
+        mean = self.mean_head(self.torso(obs))
+        return mean, jnp.broadcast_to(self.log_std, mean.shape), self.value(obs)
+
+    def value(self, obs):
+        """Value tower only — the PPO rollout bootstraps V(final_obs) each
+        step and the actor tower's outputs there would be discarded."""
+        return self.vhead(self.vf(obs))[..., 0]
 
 
 def gaussian_logp(action, mean, log_std):

@@ -120,7 +120,12 @@ class PPOTrainer:
                 # GAE bootstraps through truncations, not terminations
                 nonterm=1.0 - ts.terminated.astype(ts.reward.dtype),
                 nondone=1.0 - ts.done.astype(ts.reward.dtype),
-                final_value=self.net.apply(state.params, ts.final_obs)[2],
+                # Value tower only: a full apply here would also run the
+                # actor tower on final_obs and discard it (the towers share
+                # no torso, so this is a real 25% cut of rollout net FLOPs).
+                final_value=self.net.apply(
+                    state.params, ts.final_obs,
+                    method=type(self.net).value),
             )
             return (env_state, ts.obs, k), (out, ts.reward, ts.done)
 

@@ -99,6 +99,13 @@ class SACTrainer:
         self.cfg = config
         self.obs_dim = engine.config.obs_dim
         self.action_dim = engine.config.action_dim
+        if config.fused_updates and self.action_dim != 2:
+            # The fused kernels' packed replay layout hard-codes action_dim=2
+            # (fused_sac NHEAD=4, pack_slab/replay_cols); any other dim would
+            # silently mis-pack actions/rewards and train on garbage.
+            raise ValueError(
+                f"fused_updates requires action_dim == 2 (got {self.action_dim}); "
+                "use the unfused path for other action dims")
         self.actor = networks.TanhGaussianActor(self.action_dim, config.hidden)
         self.critic = networks.DoubleCritic(config.hidden)
         self.target_entropy = (
@@ -355,6 +362,56 @@ class SACTrainer:
             alpha=jnp.exp(state.log_alpha),
         )
         return state._replace(step=state.step + 1), metrics
+
+    # -------------------------------------------- checkpoint-format bridges --
+    def migrate_to_fused(self, state: SACState) -> SACState:
+        """Rebuild the kernel-layout `fused` state from the flax/optax
+        snapshot of a pre-FusedState (or unfused-run) checkpoint.  The optax
+        states carry the Adam moments; target-critic moment slots are unused
+        (targets update by polyak, not Adam)."""
+        from . import fused_sac as fs
+
+        zeros_t = jax.tree.map(jnp.zeros_like, state.target_critic_params)
+        packed = fs.pack_params(
+            state.actor_params, state.critic_params,
+            state.target_critic_params, state.log_alpha)
+        adam = fs.PackedAdam(
+            m=fs.pack_params(state.actor_opt[0].mu, state.critic_opt[0].mu,
+                             zeros_t, state.alpha_opt[0].mu),
+            v=fs.pack_params(state.actor_opt[0].nu, state.critic_opt[0].nu,
+                             zeros_t, state.alpha_opt[0].nu),
+            count=state.critic_opt[0].count,
+        )
+        return state._replace(fused=fs.fused_init(packed, adam))
+
+    def rehydrate_from_fused(self, state: SACState) -> SACState:
+        """Inverse bridge: refresh the flax params AND optax moments from a
+        fused-mode checkpoint so an unfused run resumes the same training
+        trajectory (in fused mode the flax critic/opt fields freeze at their
+        init snapshot — resuming from them would silently reset the critics)."""
+        from . import fused_sac as fs
+
+        packed, adam = fs.fused_unpack(state.fused)
+        actor, critic, target, log_alpha = fs.unpack_params(
+            packed, state.actor_params, state.critic_params)
+        a_mu, c_mu, _, la_mu = fs.unpack_params(
+            adam.m, state.actor_params, state.critic_params)
+        a_nu, c_nu, _, la_nu = fs.unpack_params(
+            adam.v, state.actor_params, state.critic_params)
+
+        def opt_state(tpl, mu, nu):
+            return (tpl[0]._replace(count=adam.count, mu=mu, nu=nu),) + tuple(tpl[1:])
+
+        return state._replace(
+            actor_params=actor,
+            critic_params=critic,
+            target_critic_params=target,
+            log_alpha=log_alpha,
+            actor_opt=opt_state(state.actor_opt, a_mu, a_nu),
+            critic_opt=opt_state(state.critic_opt, c_mu, c_nu),
+            alpha_opt=opt_state(state.alpha_opt, la_mu, la_nu),
+            fused=None,
+        )
 
     def _train_iters(self, state: SACState, key: jax.Array, n: int):
         """n train_iters in ONE device program (lax.scan).

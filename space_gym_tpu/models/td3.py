@@ -70,6 +70,12 @@ class TD3Trainer:
         self.cfg = config
         self.obs_dim = engine.config.obs_dim
         self.action_dim = engine.config.action_dim
+        if config.fused_updates and self.action_dim != 2:
+            # fused_td3's packed replay layout hard-codes AH=2; see the same
+            # guard in SACTrainer.
+            raise ValueError(
+                f"fused_updates requires action_dim == 2 (got {self.action_dim}); "
+                "use the unfused path for other action dims")
         self.actor = networks.DeterministicActor(self.action_dim, config.hidden)
         self.critic = networks.DoubleCritic(config.hidden)
         self.opt = optax.adam(config.lr)
@@ -261,6 +267,60 @@ class TD3Trainer:
             fused=fstate,
         )
         return state, {"critic_loss": closs[-1], "actor_loss": aloss[-1]}
+
+    # -------------------------------------------- checkpoint-format bridges --
+    def migrate_to_fused(self, state: TD3State) -> TD3State:
+        """Rebuild the kernel-layout `fused` state from a flax/optax (unfused
+        or pre-FusedState) checkpoint.  Mirrors SACTrainer.migrate_to_fused;
+        TD3 keeps separate Adam counts for the critic (every update) and the
+        delayed actor."""
+        from . import fused_td3 as ft
+
+        zeros_a = jax.tree.map(jnp.zeros_like, state.target_actor_params)
+        zeros_c = jax.tree.map(jnp.zeros_like, state.target_critic_params)
+        packed = ft.pack_params(
+            state.actor_params, state.target_actor_params,
+            state.critic_params, state.target_critic_params)
+        adam = ft.PackedAdam(
+            m=ft.pack_params(state.actor_opt[0].mu, zeros_a,
+                             state.critic_opt[0].mu, zeros_c),
+            v=ft.pack_params(state.actor_opt[0].nu, zeros_a,
+                             state.critic_opt[0].nu, zeros_c),
+            count=state.critic_opt[0].count,
+            count_a=state.actor_opt[0].count,
+        )
+        return state._replace(
+            fused=ft.fused_init(packed, adam),
+            n_updates=jnp.asarray(state.critic_opt[0].count, jnp.int32),
+        )
+
+    def rehydrate_from_fused(self, state: TD3State) -> TD3State:
+        """Inverse bridge: refresh flax params and optax moments from a
+        fused-mode checkpoint so an unfused resume continues the same
+        training trajectory (see SACTrainer.rehydrate_from_fused)."""
+        from . import fused_td3 as ft
+
+        packed, adam = ft.fused_unpack(state.fused)
+        actor, tactor, critic, target = ft.unpack_params(
+            packed, state.actor_params, state.critic_params)
+        a_mu, _, c_mu, _ = ft.unpack_params(
+            adam.m, state.actor_params, state.critic_params)
+        a_nu, _, c_nu, _ = ft.unpack_params(
+            adam.v, state.actor_params, state.critic_params)
+
+        def opt_state(tpl, mu, nu, count):
+            return (tpl[0]._replace(count=count, mu=mu, nu=nu),) + tuple(tpl[1:])
+
+        return state._replace(
+            actor_params=actor,
+            target_actor_params=tactor,
+            critic_params=critic,
+            target_critic_params=target,
+            actor_opt=opt_state(state.actor_opt, a_mu, a_nu, adam.count_a),
+            critic_opt=opt_state(state.critic_opt, c_mu, c_nu, adam.count),
+            n_updates=jnp.asarray(adam.count, jnp.int32),
+            fused=None,
+        )
 
     def _train_iters(self, state: TD3State, key: jax.Array, n: int):
         """n train_iters in ONE device program (lax.scan) — amortizes the

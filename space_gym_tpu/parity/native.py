@@ -20,6 +20,7 @@ import numpy as np
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SRC = os.path.join(_SRC_DIR, "sgt_native.cpp")
 _LIB = os.path.join(_SRC_DIR, "libsgt_native.so")
+_STAMP = _LIB + ".sha"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -40,7 +41,28 @@ def _build() -> Optional[str]:
         return str(e)
     if proc.returncode != 0:
         return proc.stderr[-2000:]
+    with open(_STAMP, "w") as f:
+        f.write(_src_digest())
     return None
+
+
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _lib_is_fresh() -> bool:
+    # Source-hash stamp, not mtime: after a fresh checkout both mtimes equal
+    # the checkout time, so an mtime check would trust a stale binary.
+    if not os.path.exists(_LIB) or not os.path.exists(_STAMP):
+        return False
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == _src_digest()
+    except OSError:
+        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -48,7 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _lib_is_fresh():
             _build_error = _build()
             if _build_error is not None:
                 return None

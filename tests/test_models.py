@@ -190,6 +190,60 @@ def test_sac_train_iters_scan_matches_structure():
     assert all(np.isfinite(float(np.asarray(v))) for v in m.values())
 
 
+@pytest.mark.parametrize("algo", ["sac", "td3"])
+def test_fused_checkpoint_bridges(algo):
+    """migrate_to_fused / rehydrate_from_fused (tools/train.py cross-format
+    resume): the round trip flax -> fused -> flax is BITWISE on every learner
+    leaf (packing is slicing/stacking, no arithmetic), and re-hydrating after
+    fused training carries the TRAINED critics/moments over (not the frozen
+    init snapshot a naive unfused resume would silently use)."""
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    kw = dict(lanes=32, rollout_len=4, replay_rows=16, batch_size=64,
+              updates_per_iter=2, warmup_rows=2)
+    mk = SACTrainer if algo == "sac" else TD3Trainer
+    cfgc = SACConfig if algo == "sac" else TD3Config
+
+    # Unfused training -> migrate -> rehydrate must be the identity.
+    tr = mk(eng, cfgc(**kw))
+    st = tr.init(jax.random.key(0))
+    for i in range(3):
+        st, _ = tr.train_iter(st, jax.random.key(i + 1))
+    rt = tr.rehydrate_from_fused(tr.migrate_to_fused(st))
+    fields = (
+        ("actor_params", "critic_params", "target_critic_params", "log_alpha",
+         "actor_opt", "critic_opt", "alpha_opt")
+        if algo == "sac" else
+        ("actor_params", "target_actor_params", "critic_params",
+         "target_critic_params", "actor_opt", "critic_opt", "n_updates")
+    )
+    for f in fields:
+        for a, b in zip(jax.tree.leaves(getattr(st, f)),
+                        jax.tree.leaves(getattr(rt, f))):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"field {f}")
+
+    # Fused training -> rehydrate: critics/moments leave the init snapshot
+    # and the unfused trainer continues from them.
+    trf = mk(eng, cfgc(**kw, fused_updates=True, fused_block=64))
+    stf = trf.init(jax.random.key(0))
+    crit0 = jax.tree.leaves(stf.critic_params)[0].copy()
+    for i in range(3):
+        stf, _ = trf.train_iter(stf, jax.random.key(i + 1))
+    # fused mode freezes the flax critic fields at init...
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(stf.critic_params)[0]), np.asarray(crit0))
+    re = trf.rehydrate_from_fused(stf)
+    assert re.fused is None
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(re.critic_params)[0]), np.asarray(crit0))
+    if algo == "sac":
+        assert int(re.critic_opt[0].count) == 3 * kw["updates_per_iter"]
+    else:
+        assert int(re.critic_opt[0].count) == int(re.n_updates)
+    st2, m = tr.train_iter(re, jax.random.key(99))
+    assert np.isfinite(float(m["critic_loss"]))
+
+
 def test_sharded_fused_train_step():
     """Fused-learner SAC over the 8-virtual-device mesh: the packed replay
     ring shards lanes-minor along "data", the FusedState wmat replicates, and

@@ -148,23 +148,20 @@ def main():
             # moments.
             tpl = {f: getattr(state, f) for f in state._fields if f != "fused"}
             state = state._replace(fused=None, **ckpt.restore(args.ckpt, tpl))
-        if args.algo == "sac" and args.fused and state.fused is None:
-            from space_gym_tpu.models import fused_sac as fs
-
-            packed = fs.pack_params(
-                state.actor_params, state.critic_params,
-                state.target_critic_params, state.log_alpha)
-            zeros_t = jax.tree.map(
-                lambda x: np.zeros_like(x), state.target_critic_params)
-            adam = fs.PackedAdam(
-                m=fs.pack_params(state.actor_opt[0].mu, state.critic_opt[0].mu,
-                                 zeros_t, state.alpha_opt[0].mu),
-                v=fs.pack_params(state.actor_opt[0].nu, state.critic_opt[0].nu,
-                                 zeros_t, state.alpha_opt[0].nu),
-                count=state.critic_opt[0].count,
-            )
-            state = state._replace(fused=fs.fused_init(packed, adam))
-            print("migrated pre-FusedState checkpoint to kernel layout")
+        # Cross-format bridges (both directions, SAC and TD3):
+        #  - fused run resuming a flax-only checkpoint -> rebuild the
+        #    kernel-layout state from the flax/optax snapshot;
+        #  - UNfused run resuming a fused checkpoint -> re-hydrate the flax
+        #    params/moments from the fused state (in fused mode the flax
+        #    critic/opt fields freeze at init; resuming from them would
+        #    silently restart the critics while keeping the trained actor).
+        if args.algo in ("sac", "td3"):
+            if args.fused and state.fused is None:
+                state = trainer.migrate_to_fused(state)
+                print("migrated flax checkpoint to fused kernel layout")
+            elif not args.fused and state.fused is not None:
+                state = trainer.rehydrate_from_fused(state)
+                print("re-hydrated flax params/moments from fused checkpoint")
         print(f"resumed from {args.ckpt} at step {int(np.asarray(state.step))}")
 
     meter = ThroughputMeter()
