@@ -16,14 +16,18 @@ streams instead of fresh uniforms —
   global-np.random orbit uniforms for randomize=True, the velocity /
   angular-velocity normals); the reset state is then ASSEMBLED ON DEVICE with
   the reference's expressions (cos/sin/mults — bitwise-safe XLA ops).
-* Goal: ship/planet/goal POSITIONS from the recorded layout plus the env-RNG
-  scalar draws (angle + normals).  The hexagonal-tiling arithmetic is
-  deliberately restructured on device (tiling/device.py is branchless
-  TPU-first code, not an expression-for-expression twin), so tiling output
-  positions are injected at the position level; the host twin
-  (tiling/host.py) remains the bitwise oracle for the sampler itself.
-* Goal resample (quirk Q11): the step feed carries the post-step goal; the
-  on-device reach decision (norm < radius on bitwise state) selects it.
+* Goal: the TILING DRAWS themselves (case/flip/col-shift/gate uniforms,
+  range-scaled disk angles, and the integer outputs of the MT19937 integer
+  path — randint/choice — which, like the polar-method normals, cannot be
+  reproduced from float uniforms).  The sampler arithmetic — column-shift
+  normalization, tile centres, uniform-disk assembly, the ordered free-list
+  evolution, the taxi-distance argmax — runs ON DEVICE through the
+  sequential-exact twin (tiling/device_exact.py); ship/planet/goal POSITIONS
+  are computed, not injected.  The production sampler (tiling/device.py)
+  stays the branchless TPU-first rewrite.
+* Goal resample (quirk Q11): the step feed carries that resample's tiling
+  draws; the on-device reach decision (norm < radius on bitwise state) gates
+  whether the freshly-computed goal and free-list update apply.
 
 Run environment (process-global, hence the subprocess driver in
 tests/test_golden_parity.py):
@@ -104,9 +108,10 @@ def make_parity_engine(env_id: str):
     import space_gym_tpu
     from space_gym_tpu.engine.core import EnvEngine
     from space_gym_tpu.envs.config import TASK_GOAL
-    from space_gym_tpu.tiling.device import TilingState
+    from space_gym_tpu.tiling.device_exact import make_exact_consts
 
     cfg = space_gym_tpu.get_config(env_id)
+    exact_consts = make_exact_consts(cfg.tiling) if cfg.task == TASK_GOAL else None
 
     class ParityEngine(EnvEngine):
         """EnvEngine with reset/resample randomness replaced by semantic
@@ -123,41 +128,42 @@ def make_parity_engine(env_id: str):
             return super()._translate_action(raw_action)
 
         def _reset_goal(self, rs):
-            # Feed: ship_pos(2), planets(2P), goal(2) [tiling-level injection],
-            # then the env-RNG draws assembled like goal.py:140-145.
+            # Feed: the tiling DRAWS (hexagonal_tiling.py:53-134 call order),
+            # run through the sequential-exact device twin, then the env-RNG
+            # draws assembled like goal.py:140-145.
             cfg = self.config
             dtype = self.dtype
             from ..ops import exact
+            from ..tiling import device_exact as dx
 
-            ship_pos = rs.take(2).astype(dtype)
-            planets = rs.take(2 * cfg.n_planets).astype(dtype).reshape(cfg.n_planets, 2)
-            goal = rs.take(2).astype(dtype)
+            ts, positions = dx.reset_exact(cfg.tiling, self._exact_consts, rs, dtype)
+            ship_pos = positions[0]
+            planets = positions[1:]
+            ts, goal = dx.find_new_goal_exact(
+                cfg.tiling, self._exact_consts, ts, rs, dtype)
             angle = rs.uniform(maxval=2 * jnp.pi).astype(dtype)
             vel = rs.normal(2).astype(dtype) * 0.07
             max_w = 0.7 * cfg.max_abs_vel_angle
             w = jnp.clip(exact.divc(rs.normal().astype(dtype) * max_w, 3), -max_w, max_w)
             y = jnp.concatenate([ship_pos, angle[None], vel, w[None]])
-            geom = cfg.tiling
-            ts = TilingState(
-                free=jnp.zeros((geom.n_tiles,), jnp.int32),
-                ship_tile=jnp.asarray(0, jnp.int32),
-                goal_tile=jnp.asarray(0, jnp.int32),
-                case_b=jnp.asarray(False),
-                flip_xy=jnp.asarray(False),
-                col_shift=jnp.zeros((geom.cols,), dtype),
-            )
             return ts, y, planets, goal, jnp.zeros((3,), dtype)
 
         def _goal_resample(self, state, y, rs):
             # Reach decision on device (bitwise state => bitwise decision);
-            # the new goal is the recorded post-step goal from the feed.
+            # the new goal is COMPUTED on device from that resample's fed
+            # tiling draws (zeros on non-resample steps — consumed but
+            # masked out).
             from ..ops import exact
+            from ..tiling import device_exact as dx
 
             cfg = self.config
-            injected = rs.take(2).astype(self.dtype)
+            new_ts, new_goal = dx.find_new_goal_exact(
+                cfg.tiling, self._exact_consts, state.tiling, rs, self.dtype)
             reached = exact.norm_last(state.goal_pos - y[0:2]) < cfg.goal_radius
-            goal_pos = jnp.where(reached, injected, state.goal_pos)
-            return reached, goal_pos, state.tiling
+            goal_pos = jnp.where(reached, new_goal, state.goal_pos)
+            tiling = jax.tree.map(
+                lambda n, o: jnp.where(reached, n, o), new_ts, state.tiling)
+            return reached, goal_pos, tiling
 
         # -- feed-driven entry points (replace the bulk jax.random draws).
         # Slot COUNTS are unchanged vs RandSource (uniform/normal consume one
@@ -177,6 +183,7 @@ def make_parity_engine(env_id: str):
 
             return jax.jit(jax.vmap(lane))
 
+    ParityEngine._exact_consts = exact_consts
     return ParityEngine(
         cfg,
         physics="adaptive",
@@ -186,10 +193,129 @@ def make_parity_engine(env_id: str):
     )
 
 
+class _DrawRecorder:
+    """RandomState proxy that logs every RNG call HostTiling makes, so the
+    feed builder derives the draw sequence from the bitwise HOST ORACLE
+    itself instead of re-implementing its control flow."""
+
+    def __init__(self, rng):
+        self._rng = rng
+        self.log = []
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        v = self._rng.uniform(low, high, size)
+        self.log.append(("uniform", np.atleast_1d(np.asarray(v, np.float64))))
+        return v
+
+    def randint(self, n):
+        v = self._rng.randint(n)
+        self.log.append(("randint", np.asarray([v], np.float64)))
+        return v
+
+    def choice(self, n, size=None, replace=True):
+        v = self._rng.choice(n, size=size, replace=replace)
+        self.log.append(("choice", np.asarray(v, np.float64).reshape(-1)))
+        return v
+
+
+def _take(it, kind):
+    k, v = next(it)
+    assert k == kind, (k, kind)
+    return v
+
+
+def _parse_goal_draws(it):
+    """find_new_goal's draws -> the fixed 6-slot feed segment:
+    [u_reuse, cand(3, zero-padded), goal_angle, goal_r]."""
+    u_reuse = _take(it, "uniform")
+    cand = np.zeros(3)
+    if u_reuse[0] >= 0.25:
+        c = _take(it, "choice")
+        cand[: len(c)] = c
+    g_angle = _take(it, "uniform")
+    g_r = _take(it, "uniform")
+    return np.concatenate([u_reuse, cand, g_angle, g_r])
+
+
+def _parse_goal_reset_draws(geom, log):
+    """HostTiling.reset() + find_new_goal() draw log -> the fixed-layout
+    tiling segment of the reset feed (matches device_exact consumption):
+    u_case(2), u_cols(cols), [2P: u_diag, diag_idx], tiles(n_obj),
+    angles(n_obj), r_u(n_obj), then the 6-slot goal segment."""
+    it = iter(log)
+    n_obj = geom.n_planets + 1
+    parts = [_take(it, "uniform"), _take(it, "uniform")]  # case/flip, cols
+    if geom.n_planets == 2:
+        u_diag = _take(it, "uniform")
+        if u_diag[0] < 0.25:
+            d = _take(it, "randint")
+            parts += [u_diag, d, np.zeros(n_obj)]
+        else:
+            tiles = _take(it, "choice")
+            parts += [u_diag, np.zeros(1), tiles]
+    else:
+        parts += [_take(it, "choice")]
+    parts += [_take(it, "uniform"), _take(it, "uniform")]  # angles, r_u
+    parts += [_parse_goal_draws(it)]
+    rest = list(it)
+    assert not rest, f"unconsumed tiling draws: {rest}"
+    return np.concatenate(parts)
+
+
+class GoalEpisodeFeeder:
+    """Per-episode feed generator for Goal envs: replays the HOST tiling
+    oracle (tiling/host.HostTiling) on a recording RandomState and emits the
+    draw-level feeds the device twin consumes.  Resample feeds are generated
+    lazily at the steps where the golden goal sequence changes."""
+
+    N_STEP_SLOTS = 6
+
+    def __init__(self, geom, tiling_rng):
+        from space_gym_tpu.tiling.host import HostTiling
+
+        self.geom = geom
+        self.rec = _DrawRecorder(tiling_rng)
+        self.ht = HostTiling(geom, self.rec)
+
+    def reset_feed_tiling(self, golden, p):
+        self.rec.log.clear()
+        positions = self.ht.reset()
+        goal = self.ht.find_new_goal()
+        # Builder-side cross-check: the host oracle must agree with the
+        # recorded goldens (it is the same code that produced them).
+        np.testing.assert_array_equal(positions[0], golden[p + "reset_state"][:2])
+        np.testing.assert_array_equal(
+            np.asarray(positions[1:]), golden[p + "reset_planets"])
+        np.testing.assert_array_equal(goal, golden[p + "reset_goal"])
+        from space_gym_tpu.tiling.device_exact import FREE_CAP_EXTRA
+
+        feed = _parse_goal_reset_draws(self.geom, self.rec.log)
+        self.cur_goal = np.asarray(golden[p + "reset_goal"])
+        assert len(self.ht.free_tiles) <= self.geom.n_tiles + FREE_CAP_EXTRA
+        return feed
+
+    def step_feed(self, golden, p, t):
+        """6-slot tiling segment for step t: real draws iff this step
+        resampled the goal (golden goals[t] differs), zeros otherwise."""
+        g_t = np.asarray(golden[p + "goals"][t])
+        if np.array_equal(g_t, self.cur_goal):
+            return np.zeros(self.N_STEP_SLOTS)
+        self.rec.log.clear()
+        goal = self.ht.find_new_goal()
+        np.testing.assert_array_equal(goal, g_t)
+        from space_gym_tpu.tiling.device_exact import FREE_CAP_EXTRA
+
+        assert len(self.ht.free_tiles) <= self.geom.n_tiles + FREE_CAP_EXTRA
+        feed = _parse_goal_draws(iter(self.rec.log))
+        self.cur_goal = g_t
+        return feed
+
+
 def build_reset_feed(env_id, golden, ep, seed):
-    """Semantic reset draws in the ParityEngine consumption order, reproducing
-    the reference's env-RNG call sequence (SURVEY.md §3.2) via the same
-    sha512->MT19937 derivation (utils.seeding)."""
+    """Draw-level reset feed in the ParityEngine consumption order,
+    reproducing the reference's RNG call sequences (SURVEY.md §3.2) via the
+    same sha512->MT19937 derivation (utils.seeding).  For Goal envs also
+    returns the episode's step-feed generator (tiling stream)."""
     import space_gym_tpu
     from space_gym_tpu.envs.config import TASK_GOAL, TASK_KEPLER
     from space_gym_tpu.utils import seeding
@@ -200,13 +326,15 @@ def build_reset_feed(env_id, golden, ep, seed):
     np.random.seed(seed + 1000 * ep)  # Kepler randomize uses GLOBAL np.random (Q6)
 
     if cfg.task == TASK_GOAL:
-        ship_pos = golden[p + "reset_state"][:2]
-        planets = np.asarray(golden[p + "reset_planets"], float).reshape(-1)
-        goal = np.asarray(golden[p + "reset_goal"], float)
+        # Tiling RNG: an independent RandomState seeded with the SAME seed as
+        # the env RNG (goal.py:74-77 / gym_api.seed).
+        t_rng, _ = seeding.np_random(seed + ep)
+        feeder = GoalEpisodeFeeder(cfg.tiling, t_rng)
+        tiling_feed = feeder.reset_feed_tiling(golden, p)
         angle = rng.uniform(0, 2 * np.pi)
         n_vel = rng.standard_normal(2)
         n_w = rng.standard_normal()
-        return np.concatenate([ship_pos, planets, goal, [angle], n_vel, [n_w]])
+        return np.concatenate([tiling_feed, [angle], n_vel, [n_w]]), feeder
 
     if cfg.task == TASK_KEPLER:
         k = cfg.kepler
@@ -218,7 +346,7 @@ def build_reset_feed(env_id, golden, ep, seed):
             parts += [np.random.uniform(), np.random.uniform()]
         n_vel = rng.standard_normal(2)
         n_w = rng.standard_normal()
-        return np.asarray(parts + [n_vel[0], n_vel[1], n_w], float)
+        return np.asarray(parts + [n_vel[0], n_vel[1], n_w], float), None
 
     raise ValueError(f"no goldens exist for task family of {env_id}")
 
@@ -240,7 +368,7 @@ def replay(env_id: str, subset: str, golden_dir: str) -> dict:
 
     for ep in range(int(g["episodes"])):
         p = f"ep{ep}_"
-        feed = build_reset_feed(env_id, g, ep, seed)
+        feed, feeder = build_reset_feed(env_id, g, ep, seed)
         assert feed.shape[0] == n_reset, (feed.shape, n_reset)
         state, obs0 = eng.reset_from_feed(jnp.asarray(feed[None]))
         y0 = np.asarray(state.y[0])
@@ -248,13 +376,21 @@ def replay(env_id: str, subset: str, golden_dir: str) -> dict:
             mismatches.append(f"ep{ep} reset_state")
         if not np.array_equal(np.asarray(obs0[0]), g[p + "reset_obs"]):
             mismatches.append(f"ep{ep} reset_obs")
+        if feeder is not None:
+            # Draw-level tier: the device must have COMPUTED the layout.
+            if not np.array_equal(
+                np.asarray(state.planets_pos[0]), g[p + "reset_planets"]
+            ):
+                mismatches.append(f"ep{ep} reset_planets")
+            if not np.array_equal(np.asarray(state.goal_pos[0]), g[p + "reset_goal"]):
+                mismatches.append(f"ep{ep} reset_goal")
 
         actions = g[p + "actions"]
         goals = g[p + "goals"] if p + "goals" in g else None
         for t in range(len(actions)):
             if n_step:
-                ufeed = np.zeros((1, n_step))
-                ufeed[0, :2] = goals[t]
+                ufeed = feeder.step_feed(g, p, t)[None]
+                assert ufeed.shape[1] == n_step, (ufeed.shape, n_step)
             else:
                 ufeed = np.zeros((1, 0))
             act = np.asarray(actions[t])[None].astype(
@@ -263,6 +399,12 @@ def replay(env_id: str, subset: str, golden_dir: str) -> dict:
             state, ts = step_fn(state, jnp.asarray(act), jnp.asarray(ufeed))
             stats["steps"] += 1
             ok_state = np.array_equal(np.asarray(state.y[0]), g[p + "post_states"][t])
+            if goals is not None:
+                # Post-step goal must match even through resamples — it is now
+                # COMPUTED on device from the fed draws.
+                ok_state = ok_state and np.array_equal(
+                    np.asarray(state.goal_pos[0]), goals[t]
+                )
             ok_obs = np.array_equal(np.asarray(ts.final_obs[0]), g[p + "obs"][t])
             ok_rew = np.asarray(ts.reward[0]) == g[p + "rewards"][t]
             done_g = bool(g[p + "dones"][t])
@@ -291,13 +433,79 @@ def replay(env_id: str, subset: str, golden_dir: str) -> dict:
     return stats
 
 
+def sampler_oracle(n_seeds: int = 4, n_resamples: int = 20) -> int:
+    """Deep draw-level oracle for the device tiling twin, far beyond the
+    golden episodes' sparse goal reaches: for each Goal config x seed, replay
+    HostTiling (the declared bitwise sampler oracle) through the draw
+    recorder — reset + n_resamples find_new_goal calls, exercising the
+    ordered free-list append/pop/duplicate evolution — and feed the recorded
+    draws through tiling/device_exact under lax.scan.  Every ship, planet and
+    goal position must match BITWISE."""
+    import jax
+    import jax.numpy as jnp
+
+    import space_gym_tpu
+    from space_gym_tpu.tiling import device_exact as dx
+    from space_gym_tpu.tiling.host import HostTiling
+    from space_gym_tpu.utils import seeding
+
+    results = {}
+    for env_id in GOLDEN_IDS[:3]:
+        geom = space_gym_tpu.get_config(env_id).tiling
+        consts = dx.make_exact_consts(geom)
+
+        def run_device(reset_feed, goal_feeds):
+            rs = ParityRand(reset_feed)
+            ts, positions = dx.reset_exact(geom, consts, rs, jnp.float64)
+            ts, g0 = dx.find_new_goal_exact(geom, consts, ts, rs, jnp.float64)
+
+            def step(ts, feed):
+                ts, gp = dx.find_new_goal_exact(
+                    geom, consts, ts, ParityRand(feed), jnp.float64)
+                return ts, gp
+
+            ts, gs = jax.lax.scan(step, ts, goal_feeds)
+            return jnp.concatenate([positions.reshape(-1), g0]), gs
+
+        runj = jax.jit(run_device)
+        bad = 0
+        for seed in range(n_seeds):
+            rng, _ = seeding.np_random(seed)
+            rec = _DrawRecorder(rng)
+            ht = HostTiling(geom, rec)
+            positions = ht.reset()
+            g0 = ht.find_new_goal()
+            reset_feed = _parse_goal_reset_draws(geom, rec.log)
+            host_goals, goal_feeds = [], []
+            for _ in range(n_resamples):
+                rec.log.clear()
+                host_goals.append(ht.find_new_goal())
+                goal_feeds.append(_parse_goal_draws(iter(rec.log)))
+            assert len(ht.free_tiles) <= consts.cap
+            head, gs = runj(
+                jnp.asarray(reset_feed), jnp.asarray(np.stack(goal_feeds)))
+            expect = np.concatenate([np.asarray(positions).reshape(-1), g0])
+            bad += int(not np.array_equal(np.asarray(head), expect))
+            bad += int(not np.array_equal(np.asarray(gs), np.stack(host_goals)))
+        results[env_id] = bad
+    ok = not any(results.values())
+    print(json.dumps({"sampler_oracle": results, "resamples_per_seed": n_resamples,
+                      "seeds": n_seeds, "ok": ok}))
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--env-id", default=None, help="one ID (default: all seven)")
     ap.add_argument("--subset", default=None, help="'' or 'seed7' (default: both)")
     ap.add_argument("--golden-dir", default=None)
+    ap.add_argument("--sampler-oracle", action="store_true",
+                    help="run the deep host-vs-device tiling sampler oracle "
+                         "instead of the golden replay")
     args = ap.parse_args(argv)
     _setup()
+    if args.sampler_oracle:
+        return sampler_oracle()
 
     golden_dir = args.golden_dir or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),

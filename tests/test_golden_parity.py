@@ -112,6 +112,30 @@ def test_single_step_device_physics(env_id):
     assert max_state < 1e-10
 
 
+def test_device_tiling_sampler_oracle():
+    """Draw-level tiling parity beyond the goldens' sparse goal reaches: the
+    sequential-exact device sampler twin (tiling/device_exact.py) must
+    reproduce the HOST oracle (tiling/host.py, itself reference-bitwise)
+    bit-for-bit over reset + 20 consecutive goal resamples per Goal config —
+    deep ordered-free-list evolution (appends, duplicates, pops) included."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_disable_hlo_passes=fusion,algsimp"
+    )
+    env["SGT_EXACT_MATH"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "space_gym_tpu.parity.device_replay",
+         "--sampler-oracle"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    out = json.loads(proc.stdout.splitlines()[-1])
+    assert out["ok"], out
+
+
 def test_full_episode_bitwise_device_engine():
     """Device tier (the strong form of SURVEY.md §7 step 5): the vectorized
     engine replays every recorded episode bit-for-bit — semantic MT19937
