@@ -173,12 +173,18 @@ class Renderer:
 
     def _show(self, frame):
         try:
+            import os
+
             import matplotlib
             import matplotlib.pyplot as plt
 
             if self._fig is None:
-                if matplotlib.get_backend().lower() == "agg":
+                if (matplotlib.get_backend().lower() == "agg"
+                        and not os.environ.get("SGT_FORCE_HUMAN")):
                     return frame  # headless: behave like rgb_array
+                # SGT_FORCE_HUMAN=1 runs the real window path under Agg
+                # (figure + imshow + draw_idle/flush_events all work there)
+                # so tests can exercise it without a display.
                 plt.ion()
                 self._fig, ax = plt.subplots(figsize=(6, 6))
                 ax.set_axis_off()

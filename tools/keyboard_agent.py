@@ -57,15 +57,17 @@ class KeyState:
         return 0
 
 
-def rollout_human(env, episodes: int, fps: float):
+def rollout_human(env, episodes: int, fps: float, max_steps: int | None = None,
+                  keys: "KeyState | None" = None):
     import matplotlib
 
-    if matplotlib.get_backend().lower() == "agg":
+    if (matplotlib.get_backend().lower() == "agg"
+            and not os.environ.get("SGT_FORCE_HUMAN")):
         raise SystemExit(
             "No display backend available — use `--policy random` headlessly."
         )
 
-    keys = KeyState()
+    keys = keys if keys is not None else KeyState()
     on_key = keys.on_key
     current_action = keys.current_action
 
@@ -76,10 +78,11 @@ def rollout_human(env, episodes: int, fps: float):
         fig = env._renderer._fig
         fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
         fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
-        total, done = 0.0, False
-        while not done:
+        total, done, t = 0.0, False, 0
+        while not done and (max_steps is None or t < max_steps):
             obs, reward, done, _ = env.step(current_action())
             total += reward
+            t += 1
             env.render()
             time.sleep(1.0 / fps)
         print(f"episode {ep}: return {total:.1f}")
