@@ -212,9 +212,12 @@ def _pad_x(obs, act, obs_dim):
 def _adam(g, m, v, lr, t):
     m = B1 * m + (1 - B1) * g
     v = B2 * v + (1 - B2) * g * g
-    mhat = m / (1 - B1**t)
-    vhat = v / (1 - B2**t)
-    return -lr * mhat / (jnp.sqrt(vhat) + EPS), m, v
+    # Scalar-folded bias corrections (algebraically identical to
+    # lr*(m/bc1)/(sqrt(v/bc2)+EPS)): one per-element division instead of
+    # three, with the bias-correction scalars hoisted out of the tensor ops.
+    # The kernel applies the same form, so kernel-vs-reference stays tight.
+    sb2 = jnp.sqrt(1 - B2**t)
+    return -(lr * sb2 / (1 - B1**t)) * m / (jnp.sqrt(v) + EPS * sb2), m, v
 
 
 def update_k_reference(packed: PackedParams, adam: PackedAdam, batches, noises,
@@ -432,6 +435,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
     relayouts.  Only the (BT, 256) activations stay batch-major — there the
     lane axis is already full."""
     o0, n0, a0, rr, dd, _ = replay_cols(obs_dim, 2)
+    one0 = dd + 1  # constant-1.0 row (replay_ones_row): first-layer bias fold
     import os as _os
     _ablate = _os.environ.get("SGT_FUSED_ABLATE", "")  # timing experiments only
 
@@ -457,7 +461,9 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         relu = lambda z: jnp.maximum(z, 0.0).astype(adt)
         ph = pl.program_id(1)
         t = pl.program_id(2)
-        kf = pl.program_id(0).astype(jnp.float32)
+        k_id = pl.program_id(0)
+        last_k = k_id == pl.num_programs(0) - 1
+        kf = k_id.astype(jnp.float32)
 
         gamma, tau, lr = scal[0, S_GAMMA], scal[0, S_TAU], scal[0, S_LR]
         te, invb = scal[0, S_TE], scal[0, S_INVB]
@@ -465,6 +471,32 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         # b**t via exp(t*log b): Mosaic has no powf lowering
         bc1 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B1)))
         bc2 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B2)))
+        # Scalar-folded Adam bias corrections: update = -a_lr*m/(sqrt(v)+c_eps)
+        # == -lr*(m/bc1)/(sqrt(v/bc2)+EPS), with the per-k scalars hoisted so
+        # each element pays one division instead of three (same fold in the
+        # pure-jax reference `_adam`).
+        sb2 = jnp.sqrt(bc2)
+        a_lr = lr * sb2 / bc1
+        c_eps = EPS * sb2
+
+        # Critic first-layer biases ride the f32 action matmul: the weight
+        # rows at r0+obs_dim+2 (inside the IN1 padding) hold b1 for the
+        # kernel's duration, contracted against the replay tile's ONES row
+        # (replay_ones_row).  Canonical storage stays the vec rows
+        # (checkpoint layout unchanged): copy in at the first grid step, back
+        # out after the last critic apply.  Moments move with them;
+        # the vec-row Adam then sees zero grads AND zero moments -> no-op.
+        @pl.when((k_id == 0) & (ph == 0) & (t == 0))
+        def _bias_in():
+            for c in (0, 1):
+                rb = R_CW1[c] + obs_dim + 2
+                tb = R_TW1[c] + obs_dim + 2
+                w_ref[rb:rb + 1, :] = vec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                w_ref[tb:tb + 1, :] = vec_ref[V_TB1[c]:V_TB1[c] + 1, :]
+                mw_ref[rb:rb + 1, :] = mvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                vw_ref[rb:rb + 1, :] = vvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
+                vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
 
         @pl.when(t == 0)
         def _zero():
@@ -489,13 +521,15 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 vec_ref[V_MISC:V_MISC + 1, :NHEAD], (1, 0))
             return head[:2], head[2:NHEAD], z1, h1, z2, h2
 
-        def critic_fwd(x, a, r0, vb1, vb2, vw3, b3col):
-            # First-layer input is [obs | action]: both arrive FEATURE-MAJOR
-            # ((obs_dim, BT) / (2, BT)) and enter via SPLIT matmuls against
-            # the obs rows / action rows of W1 — no concatenated or padded
-            # input is ever built.
-            z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0) + vec_ref[vb1:vb1 + 1, :]
-            z1 = z1 + _dg(a, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 0, 0)
+        def critic_fwd(x, a1, r0, vb2, vw3, b3col):
+            # First-layer input is [obs | action | 1]: obs enters feature-
+            # major ((obs_dim, BT)) via its own matmul; a1 is (3, BT) f32
+            # [action(2) | ones] whose contraction against
+            # [W1_action | b1-row] applies the first-layer bias INSIDE the
+            # matmul accumulator — one (BT, H) VPU add and the separate bias
+            # grad-reduce both disappear (NEXT.md ones-row fold).
+            z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0)
+            z1 = z1 + _dg(a1, w_ref[r0 + obs_dim:r0 + obs_dim + 3], 0, 0)
             h1 = relu(z1)
             z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
             h2 = relu(z2)
@@ -520,21 +554,23 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
             d0 = data[0]                                   # (W, BT)
             x_o = d0[o0:o0 + od].astype(adt)               # (od, BT)
             x_n = d0[n0:n0 + od].astype(adt)
-            a_t = d0[a0:a0 + 2]                            # (2, BT) f32
+            ones = d0[one0:one0 + 1]                       # (1, BT) f32 = 1.0
+            a1_t = jnp.concatenate([d0[a0:a0 + 2], ones], axis=0)  # (3, BT)
             r = d0[rr:rr + 1]                              # (1, BT)
             d = d0[dd:dd + 1]
             eps_c = noise[0][0:2]                          # (2, BT)
 
             mean, lsr, *_ = actor_fwd(x_n)
             na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
-            q1t, *_ = critic_fwd(x_n, na, R_TW1[0], V_TB1[0], V_TB2[0], V_TW3[0], M_TB3[0])
-            q2t, *_ = critic_fwd(x_n, na, R_TW1[1], V_TB1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
+            na1 = jnp.concatenate([na, ones], axis=0)
+            q1t, *_ = critic_fwd(x_n, na1, R_TW1[0], V_TB2[0], V_TW3[0], M_TB3[0])
+            q2t, *_ = critic_fwd(x_n, na1, R_TW1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
             tq = r + gamma * d * (jnp.minimum(q1t, q2t) - alpha * nlogp)
 
             loss = 0.0
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
-                    x_o, a_t, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                    x_o, a1_t, R_CW1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
                 dq = 2.0 * (q - tq) * invb                      # (1, BT)
                 loss = loss + jnp.sum((q - tq) ** 2) * invb
                 gvec[V_CW3[c]:V_CW3[c] + 1, :] += dg(dq, h2, 1, 0)
@@ -547,9 +583,10 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
                 dz1 = jnp.where(z1 > 0, dh1, 0.0)
                 gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += dg(x_o, dz1, 1, 0)
-                gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2, :] += _dg(
-                    a_t, dz1, 1, 0)
-                gvec[V_CB1[c]:V_CB1[c] + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+                # [action | ones] rows: the ones row's grad IS the bias grad —
+                # the old separate jnp.sum(dz1) reduce rides this matmul.
+                gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 3, :] += _dg(
+                    a1_t, dz1, 1, 0)
             acc[0] += loss
 
             @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
@@ -561,8 +598,8 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                     v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
                     ref_m[lo:hi, :] = m
                     ref_v[lo:hi, :] = v
-                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - lr * (m / bc1) / (
-                        jnp.sqrt(v / bc2) + EPS)
+                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - a_lr * m / (
+                        jnp.sqrt(v) + c_eps)
 
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_CW1[0], R_CW1[1] + IN1 + H)
                 adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_CB1[0], V_CW3[1] + 1)
@@ -574,7 +611,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = v
                 vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = (
                     vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
-                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS))
+                    - a_lr * m / (jnp.sqrt(v) + c_eps))
                 # polyak: target <- (1-tau) target + tau critic
                 w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :] = (
                     (1 - tau) * w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :]
@@ -594,15 +631,17 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
         @pl.when(ph == 1 if "nophase1" not in _ablate else ph == -1)
         def _actor_phase():
             x_o = data[0][o0:o0 + od].astype(adt)          # (od, BT)
+            ones = data[0][one0:one0 + 1]                  # (1, BT) f32 = 1.0
             eps_a = noise[0][2:NHEAD]                      # (2, BT)
 
             mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(x_o)
             a, logp, pre, ls, std = sample(mean, lsr, eps_a)
+            a1 = jnp.concatenate([a, ones], axis=0)        # (3, BT)
 
             qs, caches = [], []
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
-                    x_o, a, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c],
+                    x_o, a1, R_CW1[c], V_CB2[c], V_CW3[c],
                     M_CB3[0] + c)
                 qs.append(q)
                 caches.append((z1, h1, z2, h2))
@@ -654,8 +693,8 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                     v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
                     ref_m[lo:hi, :] = m
                     ref_v[lo:hi, :] = v
-                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - lr * (m / bc1) / (
-                        jnp.sqrt(v / bc2) + EPS)
+                    ref_w[lo:hi, :] = ref_w[lo:hi, :] - a_lr * m / (
+                        jnp.sqrt(v) + c_eps)
 
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_AW1, R_AW2 + H)
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_AWH, R_AWH + NHEAD,
@@ -669,18 +708,38 @@ def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
                 vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = v
                 vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = (
                     vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
-                    - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS))
+                    - a_lr * m / (jnp.sqrt(v) + c_eps))
                 # temperature
                 g_la = jnp.full((1, 1), -(acc[1] * invb + te))
                 m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B1) * g_la
                 v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B2) * g_la * g_la
                 mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = m
                 vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = v
-                new_la = la - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS)
+                new_la = la - a_lr * m / (jnp.sqrt(v) + c_eps)
                 if alpha_floor > 0:
                     new_la = jnp.maximum(new_la, scal[0, S_LOGFLOOR])
                 vec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = new_la
                 losses_ref[0, 0:1, 1:2] = jnp.full((1, 1), acc[0])
+
+                # LAST grid step of the whole kernel: sync the critic/target
+                # first-layer biases (+ moments) from the working w rows back
+                # to their canonical vec rows and re-zero the padded rows, so
+                # the EXTERNAL wmat layout is exactly as before the fold
+                # (see _bias_in).
+                @pl.when(last_k)
+                def _bias_out():
+                    z = jnp.zeros((1, H), jnp.float32)
+                    for c in (0, 1):
+                        rb = R_CW1[c] + obs_dim + 2
+                        tb = R_TW1[c] + obs_dim + 2
+                        vec_ref[V_CB1[c]:V_CB1[c] + 1, :] = w_ref[rb:rb + 1, :]
+                        vec_ref[V_TB1[c]:V_TB1[c] + 1, :] = w_ref[tb:tb + 1, :]
+                        mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = mw_ref[rb:rb + 1, :]
+                        vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = vw_ref[rb:rb + 1, :]
+                        w_ref[rb:rb + 1, :] = z
+                        w_ref[tb:tb + 1, :] = z
+                        mw_ref[rb:rb + 1, :] = z
+                        vw_ref[rb:rb + 1, :] = z
 
     return kernel
 

@@ -171,7 +171,10 @@ def adam_init(packed: PackedParams) -> PackedAdam:
 def _adam(g, m, v, lr, t):
     m = B1 * m + (1 - B1) * g
     v = B2 * v + (1 - B2) * g * g
-    return -lr * (m / (1 - B1**t)) / (jnp.sqrt(v / (1 - B2**t)) + EPS), m, v
+    # Scalar-folded bias corrections (== lr*(m/bc1)/(sqrt(v/bc2)+EPS)); the
+    # kernel applies the same form — see fused_sac._adam.
+    sb2 = jnp.sqrt(1 - B2**t)
+    return -(lr * sb2 / (1 - B1**t)) * m / (jnp.sqrt(v) + EPS * sb2), m, v
 
 
 def _actor_fwd_ref(w1, b1, w2, b2, wh, bh, x):
@@ -412,8 +415,11 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
                  mm_bf16: bool = True):
     """Grid (K, 2, T).  Phase 0: critic grads + Adam; phase 1: actor fwd +
     loss always, backward/Adam/polyak only on delayed steps.  Layout rules
-    as in fused_sac (feature-major small tensors, bf16 post-relu)."""
+    as in fused_sac (feature-major small tensors, bf16 post-relu, critic
+    first-layer biases folded into the f32 [action|ones] matmul against the
+    working w rows at r0+obs_dim+2 — see fused_sac._make_kernel)."""
     o0, n0, a0, rr, dd, _ = replay_cols(obs_dim, 2)
+    one0 = dd + 1  # constant-1.0 row (replay_ones_row)
 
     def kernel(scal, data, noise,
                _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
@@ -426,7 +432,9 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
         relu = lambda z: jnp.maximum(z, 0.0).astype(adt)
         ph = pl.program_id(1)
         t = pl.program_id(2)
-        kf = pl.program_id(0).astype(jnp.float32)
+        k_id = pl.program_id(0)
+        last_k = k_id == pl.num_programs(0) - 1
+        kf = k_id.astype(jnp.float32)
 
         gamma, tau, lr = scal[0, S_GAMMA], scal[0, S_TAU], scal[0, S_LR]
         sstd, sclip, invb = scal[0, S_STD], scal[0, S_CLIP], scal[0, S_INVB]
@@ -443,6 +451,27 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
         bca2 = 1.0 - jnp.exp(tstep_a * logb(B2))
         bcc1 = 1.0 - jnp.exp(tstep_c * logb(B1))
         bcc2 = 1.0 - jnp.exp(tstep_c * logb(B2))
+        # Scalar-folded Adam bias corrections (see fused_sac): per-element
+        # update is -a_lr*m/(sqrt(v)+c_eps); two scalar pairs (actor delayed
+        # count vs critic count).
+        sba2, sbc2 = jnp.sqrt(bca2), jnp.sqrt(bcc2)
+        alr_a, ceps_a = lr * sba2 / bca1, EPS * sba2
+        alr_c, ceps_c = lr * sbc2 / bcc1, EPS * sbc2
+
+        # Critic/target first-layer bias fold (see fused_sac._bias_in/_out):
+        # canonical storage stays the vec rows; the kernel works on the w
+        # rows at r0+obs_dim+2 contracted against the replay ones row.
+        @pl.when((k_id == 0) & (ph == 0) & (t == 0))
+        def _bias_in():
+            for c in (0, 1):
+                rb = R_CW1[c] + obs_dim + 2
+                tb = R_TW1[c] + obs_dim + 2
+                w_ref[rb:rb + 1, :] = vec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                w_ref[tb:tb + 1, :] = vec_ref[V_TB1[c]:V_TB1[c] + 1, :]
+                mw_ref[rb:rb + 1, :] = mvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                vw_ref[rb:rb + 1, :] = vvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
+                mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
+                vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
 
         @pl.when(t == 0)
         def _zero():
@@ -460,23 +489,24 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
                 vec_ref[V_MISC:V_MISC + 1, mb[0]:mb[1]], (1, 0))
             return jnp.tanh(head), z1, h1, z2, h2
 
-        def critic_fwd(x, a, r0, vb1, vb2, vw3, b3col):
-            z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0) + vec_ref[vb1:vb1 + 1, :]
-            z1 = z1 + _dg(a, w_ref[r0 + obs_dim:r0 + obs_dim + 2], 0, 0)
+        def critic_fwd(x, a1, r0, vb2, vw3, b3col):
+            # a1: (3, BT) f32 [action(2) | ones]; the ones row applies the
+            # first-layer bias inside the matmul accumulator.
+            z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0)
+            z1 = z1 + _dg(a1, w_ref[r0 + obs_dim:r0 + obs_dim + 3], 0, 0)
             h1 = relu(z1)
             z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
             h2 = relu(z2)
             q = dg(vec_ref[vw3:vw3 + 1, :], h2, 1, 1)        # (1, BT) f32
             return q + vec_ref[V_MISC:V_MISC + 1, b3col:b3col + 1], z1, h1, z2, h2
 
-        def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, bc1, bc2, glo):
+        def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, alr, ceps, glo):
             g = ref_g[glo:glo + (hi - lo), :]
             m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
             v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
             ref_m[lo:hi, :] = m
             ref_v[lo:hi, :] = v
-            ref_w[lo:hi, :] = ref_w[lo:hi, :] - lr * (m / bc1) / (
-                jnp.sqrt(v / bc2) + EPS)
+            ref_w[lo:hi, :] = ref_w[lo:hi, :] - alr * m / (jnp.sqrt(v) + ceps)
 
         od = obs_dim
 
@@ -486,24 +516,25 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
             d0 = data[0]
             x_o = d0[o0:o0 + od].astype(adt)
             x_n = d0[n0:n0 + od].astype(adt)
-            a_t = d0[a0:a0 + 2]                              # (2, BT) f32
+            ones = d0[one0:one0 + 1]                         # (1, BT) = 1.0
+            a1_t = jnp.concatenate([d0[a0:a0 + 2], ones], axis=0)  # (3, BT)
             r = d0[rr:rr + 1]
             d = d0[dd:dd + 1]
             eps = jnp.clip(noise[0][0:2] * sstd, -sclip, sclip)
 
             ta, *_ = actor_fwd(x_n, R_TAW1, R_TAW2, R_TAWH,
                                V_TAB1, V_TAB2, M_TABH)
-            na = jnp.clip(ta + eps, -1.0, 1.0)
-            q1t, *_ = critic_fwd(x_n, na, R_TW1[0], V_TB1[0], V_TB2[0],
+            na1 = jnp.concatenate([jnp.clip(ta + eps, -1.0, 1.0), ones], axis=0)
+            q1t, *_ = critic_fwd(x_n, na1, R_TW1[0], V_TB2[0],
                                  V_TW3[0], M_TB3[0])
-            q2t, *_ = critic_fwd(x_n, na, R_TW1[1], V_TB1[1], V_TB2[1],
+            q2t, *_ = critic_fwd(x_n, na1, R_TW1[1], V_TB2[1],
                                  V_TW3[1], M_TB3[0] + 1)
             tq = r + gamma * d * jnp.minimum(q1t, q2t)
 
             loss = 0.0
             for c in (0, 1):
                 q, z1, h1, z2, h2 = critic_fwd(
-                    x_o, a_t, R_CW1[c], V_CB1[c], V_CB2[c], V_CW3[c],
+                    x_o, a1_t, R_CW1[c], V_CB2[c], V_CW3[c],
                     M_CB3[0] + c)
                 dq = 2.0 * (q - tq) * invb                   # (1, BT)
                 loss = loss + jnp.sum((q - tq) ** 2) * invb
@@ -517,19 +548,19 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
                 dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
                 dz1 = jnp.where(z1 > 0, dh1, 0.0)
                 gw[G_CW1[c]:G_CW1[c] + obs_dim, :] += dg(x_o, dz1, 1, 0)
-                gw[G_CW1[c] + obs_dim:G_CW1[c] + obs_dim + 2, :] += _dg(
-                    a_t, dz1, 1, 0)
-                gvec[V_CB1[c]:V_CB1[c] + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+                # ones-row grad == bias grad; rides this matmul
+                gw[G_CW1[c] + obs_dim:G_CW1[c] + obs_dim + 3, :] += _dg(
+                    a1_t, dz1, 1, 0)
             acc[0] += loss
 
             @pl.when(t == n_tiles - 1)
             def _apply_critic():
                 for c in (0, 1):
                     adam_rows(w_ref, mw_ref, vw_ref, gw,
-                              R_CW1[c], R_CW1[c] + IN1 + H, bcc1, bcc2,
+                              R_CW1[c], R_CW1[c] + IN1 + H, alr_c, ceps_c,
                               glo=G_CW1[c])
                 adam_rows(vec_ref, mvec_ref, vvec_ref, gvec,
-                          V_CB1[0], V_CW3[1] + 1, bcc1, bcc2, glo=V_CB1[0])
+                          V_CB1[0], V_CW3[1] + 1, alr_c, ceps_c, glo=V_CB1[0])
                 g = gvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
                 m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B1) * g
                 v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B2) * g * g
@@ -537,18 +568,20 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
                 vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = v
                 vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = (
                     vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
-                    - lr * (m / bcc1) / (jnp.sqrt(v / bcc2) + EPS))
+                    - alr_c * m / (jnp.sqrt(v) + ceps_c))
                 losses_ref[0, 0:1, 0:1] = jnp.full((1, 1), acc[0])
 
         # ----------------------------------------------------- phase 1: actor
         @pl.when(ph == 1)
         def _actor_phase():
             x_o = data[0][o0:o0 + od].astype(adt)
+            ones = data[0][one0:one0 + 1]                    # (1, BT) = 1.0
 
             a, z1a, h1a, z2a, h2a = actor_fwd(
                 x_o, R_AW1, R_AW2, R_AWH, V_AB1, V_AB2, M_ABH)
+            a1 = jnp.concatenate([a, ones], axis=0)          # (3, BT)
             q1, z1, h1, z2, h2 = critic_fwd(
-                x_o, a, R_CW1[0], V_CB1[0], V_CB2[0], V_CW3[0], M_CB3[0])
+                x_o, a1, R_CW1[0], V_CB2[0], V_CW3[0], M_CB3[0])
             acc[0] += -jnp.sum(q1) * invb
 
             @pl.when(do_actor)
@@ -576,13 +609,13 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
             @pl.when((t == n_tiles - 1) & do_actor)
             def _apply_actor():
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_AW1, R_AW1 + IN1,
-                          bca1, bca2, glo=G_AW1)
+                          alr_a, ceps_a, glo=G_AW1)
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_AW2, R_AW2 + H,
-                          bca1, bca2, glo=G_AW1 + IN1)
+                          alr_a, ceps_a, glo=G_AW1 + IN1)
                 adam_rows(w_ref, mw_ref, vw_ref, gw, R_AWH, R_AWH + AH,
-                          bca1, bca2, glo=G_AWH)
+                          alr_a, ceps_a, glo=G_AWH)
                 adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_AB1, V_AB2 + 1,
-                          bca1, bca2, glo=V_AB1)
+                          alr_a, ceps_a, glo=V_AB1)
                 g = gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
                 m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B1) * g
                 v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B2) * g * g
@@ -590,7 +623,7 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
                 vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = v
                 vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = (
                     vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
-                    - lr * (m / bca1) / (jnp.sqrt(v / bca2) + EPS))
+                    - alr_a * m / (jnp.sqrt(v) + ceps_a))
                 # polyak: BOTH targets <- online (delayed, post-update)
                 w_ref[R_TAW1:R_TAW1 + IN1, :] = (
                     (1 - tau) * w_ref[R_TAW1:R_TAW1 + IN1, :]
@@ -623,6 +656,24 @@ def _make_kernel(obs_dim: int, n_tiles: int, policy_delay: int,
             @pl.when(t == n_tiles - 1)
             def _write_aloss():
                 losses_ref[0, 0:1, 1:2] = jnp.full((1, 1), acc[0])
+
+                # True last grid step (runs regardless of do_actor): sync the
+                # critic/target first-layer biases back to their canonical
+                # vec rows and re-zero the padded w rows (see _bias_in).
+                @pl.when(last_k)
+                def _bias_out():
+                    z = jnp.zeros((1, H), jnp.float32)
+                    for c in (0, 1):
+                        rb = R_CW1[c] + obs_dim + 2
+                        tb = R_TW1[c] + obs_dim + 2
+                        vec_ref[V_CB1[c]:V_CB1[c] + 1, :] = w_ref[rb:rb + 1, :]
+                        vec_ref[V_TB1[c]:V_TB1[c] + 1, :] = w_ref[tb:tb + 1, :]
+                        mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = mw_ref[rb:rb + 1, :]
+                        vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = vw_ref[rb:rb + 1, :]
+                        w_ref[rb:rb + 1, :] = z
+                        w_ref[tb:tb + 1, :] = z
+                        mw_ref[rb:rb + 1, :] = z
+                        vw_ref[rb:rb + 1, :] = z
 
     return kernel
 

@@ -64,6 +64,17 @@ def replay_cols(obs_dim: int, action_dim: int):
     return o0, n0, a0, r0, d0, _ceil8(d0 + 1)
 
 
+def replay_ones_row(obs_dim: int, action_dim: int) -> int:
+    """Row of constant 1.0 inside the 8-alignment padding (d0+1 < W always:
+    d0+1 = a0+action_dim+2 with a0 8-aligned).  The fused learner kernels fold
+    the critics' first-layer bias into the f32 action matmul by contracting
+    [action | ones] against [W1_action | b1] — the ones row makes both the
+    forward bias add and the backward bias grad-reduce ride existing MXU
+    matmuls instead of separate (batch, H) VPU ops."""
+    d0 = replay_cols(obs_dim, action_dim)[4]
+    return d0 + 1
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("data", "cursor", "filled"),
@@ -93,6 +104,8 @@ def pack_slab(tr: Transition, obs_dim: int, action_dim: int) -> jax.Array:
     out = jax.lax.dynamic_update_slice_in_dim(out, fm(tr.action), a0, axis=1)
     out = jax.lax.dynamic_update_slice_in_dim(out, tr.reward[:, None], r0, axis=1)
     out = jax.lax.dynamic_update_slice_in_dim(out, tr.discount[:, None], d0, axis=1)
+    ones = jnp.ones((t_len, 1, lanes), tr.obs.dtype)
+    out = jax.lax.dynamic_update_slice_in_dim(out, ones, d0 + 1, axis=1)
     return out
 
 

@@ -148,6 +148,16 @@ def main():
             # moments.
             tpl = {f: getattr(state, f) for f in state._fields if f != "fused"}
             state = state._replace(fused=None, **ckpt.restore(args.ckpt, tpl))
+        # Replay rings saved before the ones-row fold (models/replay.py:
+        # replay_ones_row) carry zeros in that padding row; the fused kernels
+        # now contract it as the first-layer bias input, so stamp it to 1.0
+        # (idempotent for new-format checkpoints, harmless for unwritten rows).
+        if hasattr(state, "replay"):
+            from space_gym_tpu.models.replay import replay_ones_row
+
+            orow = replay_ones_row(state.replay.obs_dim, state.replay.action_dim)
+            state = state._replace(replay=state.replay._replace(
+                data=state.replay.data.at[:, orow, :].set(1.0)))
         # Cross-format bridges (both directions, SAC and TD3):
         #  - fused run resuming a flax-only checkpoint -> rebuild the
         #    kernel-layout state from the flax/optax snapshot;
