@@ -164,6 +164,51 @@ def test_trainer_fused_smoke():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_kernel_sequential_calls_interpret():
+    """Two sequential kernel calls (K=2 each) track the reference over all 4
+    updates — params AND Adam moments.  This is the oracle for the
+    first-layer bias fold's copy-in/copy-out: biases and their moments must
+    round-trip between the canonical vec rows and the working w rows across
+    kernel invocations without loss or leakage into the padded rows."""
+    tr = make_trainer()
+    st = tr.init(jax.random.key(5))
+    obs_dim = tr.obs_dim
+    K, B, BT = 2, 64, 32
+    kb, kn = jax.random.split(jax.random.key(17))
+    args = (obs_dim, tr.cfg.gamma, tr.cfg.tau, tr.cfg.lr, tr.target_entropy)
+
+    packed_r = fs.pack_params(st.actor_params, st.critic_params,
+                              st.target_critic_params, st.log_alpha)
+    adam_r = fs.adam_init(packed_r)
+    packed_k, adam_k = packed_r, adam_r
+
+    for call in range(2):
+        batches = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[rand_batch(jax.random.fold_in(kb, 10 * call + i), B, obs_dim)
+              for i in range(K)])
+        noises = jax.random.normal(
+            jax.random.fold_in(kn, call), (K, B, 2, 2), jnp.float32)
+        packed_r, adam_r, _, _ = fs.update_k_reference(
+            packed_r, adam_r, batches, noises, *args)
+        packed_k, adam_k, _, _ = fs.fused_update_k(
+            packed_k, adam_k, batches, noises, *args, block=BT,
+            interpret=True, mm_bf16=False)
+
+    assert int(adam_k.count) == int(adam_r.count) == 4
+    for f in fs.PackedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(packed_k, f)), np.asarray(getattr(packed_r, f)),
+            rtol=3e-4, atol=3e-5, err_msg=f"param {f}")
+        np.testing.assert_allclose(
+            np.asarray(getattr(adam_k.m, f)), np.asarray(getattr(adam_r.m, f)),
+            rtol=3e-4, atol=3e-5, err_msg=f"adam.m {f}")
+    # padded-rows-are-zero invariant survives the fold (bias rows re-zeroed)
+    for f in ("a_w1", "c_w1", "t_w1"):
+        pad = np.asarray(getattr(packed_k, f))[..., obs_dim + 2 :, :]
+        np.testing.assert_array_equal(pad, np.zeros_like(pad), err_msg=f)
+
+
 def test_kernel_matches_reference_interpret():
     """The Pallas kernel (interpret mode) reproduces the autodiff reference:
     K=2 updates, 2 batch tiles, all params + adam moments + losses."""
