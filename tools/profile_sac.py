@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""Per-phase profile of SACTrainer._train_iter (VERDICT r1 item 2).
+"""Per-phase profile of the SAC/TD3 train_iter (VERDICT r1 item 2 / r2 item 2).
 
 Times, in one session on the same chip: full train_iter, rollout-only,
 K-updates-only (replay pre-filled), single update, replay sample, and the
 polyak step, each as its own jitted program.  All timings sync via a
 device->host fetch (axon gotcha: block_until_ready returns early).
 
-Usage: python tools/profile_sac.py [--lanes 2048 --rollout-len 8 \
-           --updates-per-iter 32 --batch-size 8192]
+Usage: python tools/profile_sac.py [--algo sac|td3] [--fused] \
+           [--lanes 2048 --rollout-len 8 --updates-per-iter 32 --batch-size 8192]
 """
 from __future__ import annotations
 
@@ -43,6 +43,7 @@ def jax_first_leaf(tree):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="GoalContinuous2P-v0")
+    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
     ap.add_argument("--lanes", type=int, default=2048)
     ap.add_argument("--rollout-len", type=int, default=8)
     ap.add_argument("--updates-per-iter", type=int, default=32)
@@ -54,16 +55,25 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # axon sitecustomize force-registers the TPU platform; the env var
+        # alone is not honored (CLAUDE.md gotcha)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
-    from space_gym_tpu.models import SACConfig, SACTrainer
+    from space_gym_tpu.models import (
+        SACConfig, SACTrainer, TD3Config, TD3Trainer,
+    )
     from space_gym_tpu.models.replay import replay_sample
 
     physics = args.physics or ("pallas" if jax.default_backend() == "tpu" else "fixed")
     eng = EnvEngine(space_gym_tpu.get_config(args.env), physics=physics)
-    cfg = SACConfig(
+    mk_cfg, mk_tr = ((SACConfig, SACTrainer) if args.algo == "sac"
+                     else (TD3Config, TD3Trainer))
+    cfg = mk_cfg(
         lanes=args.lanes,
         rollout_len=args.rollout_len,
         updates_per_iter=args.updates_per_iter,
@@ -71,7 +81,7 @@ def main():
         fused_updates=args.fused,
         fused_block=args.fused_block,
     )
-    tr = SACTrainer(eng, cfg)
+    tr = mk_tr(eng, cfg)
     state = tr.init(jax.random.key(0))
     key = jax.random.key(1)
 
