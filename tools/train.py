@@ -139,15 +139,35 @@ def main():
 
     state = trainer.init(jax.random.key(args.seed))
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
-        try:
-            state = ckpt.restore(args.ckpt, state)
-        except Exception:
-            # pre-FusedState checkpoint (no `fused` field): restore the flax
-            # snapshot through a fused-less dict template, then rebuild the
-            # kernel-layout state from it — the optax states carry the Adam
-            # moments.
-            tpl = {f: getattr(state, f) for f in state._fields if f != "fused"}
-            state = state._replace(fused=None, **ckpt.restore(args.ckpt, tpl))
+        # Orbax restores require a template matching the SAVED format, so try
+        # the known formats in order (same-format first).  This lets every
+        # run mode read every checkpoint format: fused <-> unfused (bridged
+        # below) and pre-FusedState saves.
+        def _try(tpl):
+            try:
+                return ckpt.restore(args.ckpt, tpl)
+            except Exception:
+                return None
+
+        restored = _try(state)
+        if restored is None and args.algo in ("sac", "td3"):
+            if state.fused is not None:
+                # fused run reading an unfused-format save (fused=None slot)
+                restored = _try(state._replace(fused=None))
+            else:
+                # unfused run reading a fused-format save
+                restored = _try(trainer.migrate_to_fused(state))
+            if restored is None:
+                # pre-FusedState save (no `fused` key at all): the optax
+                # states carry the Adam moments
+                tpl = {f: getattr(state, f) for f in state._fields if f != "fused"}
+                flax_only = _try(tpl)
+                if flax_only is not None:
+                    restored = state._replace(fused=None, **flax_only)
+        if restored is None:
+            raise SystemExit(
+                f"checkpoint {args.ckpt} does not match any known format")
+        state = restored
         # Replay rings saved before the ones-row fold (models/replay.py:
         # replay_ones_row) carry zeros in that padding row; the fused kernels
         # now contract it as the first-layer bias input, so stamp it to 1.0
