@@ -229,6 +229,41 @@ def test_keyboard_agent_window_loop(monkeypatch):
     env.close()
 
 
+def test_train_cli_cross_format_resume(tmp_path):
+    """tools/train.py reads every checkpoint format from every run mode:
+    fused save -> unfused resume (re-hydration: trained critics carried over,
+    not the frozen init snapshot) and unfused save -> fused resume
+    (migration).  Drives the real CLI + orbax end to end; regression for the
+    orbax template-structure mismatch that silently dropped the fused
+    subtree."""
+    import subprocess, sys, os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    ck = str(tmp_path / "ck")
+    base = [sys.executable, "tools/train.py", "--env", "GoalContinuous2P-v0",
+            "--algo", "sac", "--lanes", "16", "--rollout-len", "4",
+            "--updates-per-iter", "1", "--batch-size", "32", "--replay-rows",
+            "16", "--eval-every", "0", "--scan-chunk", "1", "--log-every", "9",
+            "--ckpt", ck]
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/sgt_jax_cache"}
+
+    def run(*extra):
+        r = subprocess.run(base + list(extra), capture_output=True, text=True,
+                           timeout=600, cwd=repo, env=env)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        return r.stdout
+
+    run("--iters", "2", "--fused")                       # fused save
+    out = run("--iters", "1", "--resume")                # unfused reads it
+    assert "re-hydrated flax params/moments" in out
+    assert "resumed from" in out                         # unfused save follows
+    out = run("--iters", "1", "--resume", "--fused")     # fused reads unfused
+    assert "migrated flax checkpoint to fused kernel layout" in out
+    out = run("--iters", "1", "--resume", "--fused")     # fused reads fused
+    assert "resumed from" in out and "migrated" not in out
+
+
 def test_bench_smoke_json_contract():
     """bench.py --smoke must print ONE parseable JSON line with the driver's
     required fields (the round harness consumes this)."""
