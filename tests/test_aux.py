@@ -283,3 +283,26 @@ def test_bench_smoke_json_contract():
     for k in ("metric", "value", "unit", "vs_baseline"):
         assert k in d, d
     assert d["value"] > 0
+
+
+def test_bench_unreachable_backend_emits_error_json():
+    """When the TPU backend is unreachable, bench.py must STILL print one
+    parseable JSON line (with an 'error' field) and exit 0 — the r2 driver
+    capture died on a raw traceback instead (VERDICT r2 item 1).  Forced
+    deterministically via a sub-millisecond probe timeout."""
+    import json as _json
+    import subprocess, sys, os
+
+    env = {**os.environ}
+    env.pop("JAX_PLATFORMS", None)  # ensure the probe path runs (no CPU pin)
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--probe-tries", "2",
+         "--probe-timeout", "0.001"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, r.stdout
+    d = _json.loads(lines[0])
+    assert d["value"] == 0.0 and "error" in d and d["metric"], d
