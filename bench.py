@@ -163,10 +163,18 @@ def roofline(eng, steps_per_s: float):
     bytes_per_step = 4 * (n_in + n_out)
 
     kind = jax.devices()[0].device_kind.lower()
+    # Through the axon tunnel the device_kind string may be opaque; the
+    # tunnel env names the generation (PALLAS_AXON_TPU_GEN=v5e) — append it
+    # as a fallback tag so the roofline fields are always present on TPU.
+    gen_hint = ("" if kind == "cpu"
+                else os.environ.get("PALLAS_AXON_TPU_GEN", "").lower())
     hbm_bw = vpu_peak = None
-    for tag, bw, vpu in _CHIP_TABLE:
-        if tag in kind:
-            hbm_bw, vpu_peak = bw, vpu
+    for probe_kind in (kind, f"{kind} {gen_hint}".strip()):
+        for tag, bw, vpu in _CHIP_TABLE:
+            if tag in probe_kind:
+                hbm_bw, vpu_peak = bw, vpu
+                break
+        if hbm_bw:
             break
     # Static VPU-op estimate per lane-step (DP5 physics + events + obs/reward
     # + amortized reset; see ARCHITECTURE.md "per-lane-step decomposition").
