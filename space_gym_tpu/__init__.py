@@ -3,6 +3,7 @@ environment suite (reference: MIMUW-RL/space-gym).
 
 Public surface:
   * make(env_id)            — old-Gym-API single-env adapter (drop-in)
+  * make_gymnasium(env_id)  — new-API (gymnasium-style) facade for modern trainers
   * env_ids() / get_config  — typed-config registry of all upstream env IDs
   * space_gym_tpu.engine    — vectorized jit/vmap/scan env engine (the fast path)
   * space_gym_tpu.ops       — dynamics, integrators, events
@@ -22,6 +23,10 @@ def __getattr__(name):
         from .compat.vector_env import VectorEnv
 
         return VectorEnv
+    if name == "make_gymnasium":
+        from .compat.gymnasium_api import make_gymnasium
+
+        return make_gymnasium
     if name == "Planet":
         from .envs.config import Planet
 

@@ -229,6 +229,41 @@ def test_keyboard_agent_window_loop(monkeypatch):
     env.close()
 
 
+def test_gymnasium_adapter_new_api():
+    """make_gymnasium: new-API facade over the bitwise adapter — 5-tuple
+    step with the terminated/truncated split recovered from TimeLimit info,
+    reset(seed=) reproducibility, spaces/attr passthrough."""
+    env = space_gym_tpu.make_gymnasium("GoalContinuous2P-v0", physics="host")
+    obs, info = env.reset(seed=42)
+    assert isinstance(info, dict)
+    assert env.observation_space.contains(np.asarray(obs, np.float32)) or obs.shape == (13,)
+    obs2, _ = env.reset(seed=42)
+    np.testing.assert_array_equal(obs, obs2)  # same seed -> same reset
+
+    # old-API twin runs in lockstep: identical transitions, split flags
+    old = space_gym_tpu.make("GoalContinuous2P-v0", physics="host")
+    old.seed(42)
+    o_old = old.reset()
+    np.testing.assert_array_equal(obs2, o_old)
+    rng = np.random.RandomState(0)
+    terminated = truncated = False
+    for t in range(600):
+        a = rng.uniform(-1, 1, 2).astype(np.float32)
+        obs_n, r_n, terminated, truncated, info_n = env.step(a)
+        obs_o, r_o, done_o, info_o = old.step(a)
+        assert r_n == r_o and (terminated or truncated) == done_o
+        np.testing.assert_array_equal(obs_n, obs_o)
+        assert "TimeLimit.truncated" not in info_n
+        if terminated or truncated:
+            assert truncated == bool(info_o.get("TimeLimit.truncated", False))
+            break
+    assert terminated or truncated  # episode ended within the cap
+    # passthrough of reference-visible attributes
+    assert env.planets_pos.shape == (2, 2) and env.goal_pos.shape == (2,)
+    env.close()
+    old.close()
+
+
 def test_train_cli_cross_format_resume(tmp_path):
     """tools/train.py reads every checkpoint format from every run mode:
     fused save -> unfused resume (re-hydration: trained critics carried over,
