@@ -326,7 +326,9 @@ def solve_step(
 
         def body(carry):
             _, _, h_abs, step_rejected, *_ = carry
-            failed = h_abs < min_step
+            # ~(>=) instead of (<): a NaN h_abs (non-finite RHS poisoning the
+            # controller) must fail the solve, not spin the loop forever.
+            failed = ~(h_abs >= min_step)
             t_new = jnp.minimum(t + h_abs, t_bound)
             h = t_new - t
             h_abs_cur = jnp.abs(h)
@@ -342,7 +344,15 @@ def solve_step(
                 jnp.minimum(MAX_FACTOR, SAFETY * pow_err),
             )
             factor_ok = jnp.where(step_rejected, jnp.minimum(1.0, factor_ok), factor_ok)
-            factor_bad = jnp.maximum(MIN_FACTOR, SAFETY * pow_err)
+            # Non-finite error (singular/NaN RHS): max(MIN_FACTOR, nan) is nan
+            # and would turn h_abs into nan — force the geometric shrink so
+            # the step-size-underflow failure path fires instead of hanging.
+            # Finite-path arithmetic is untouched (bitwise parity preserved).
+            factor_bad = jnp.where(
+                jnp.isfinite(error_norm),
+                jnp.maximum(MIN_FACTOR, SAFETY * pow_err),
+                jnp.asarray(MIN_FACTOR, dtype),
+            )
             h_abs_next = jnp.where(ok, h_abs_cur * factor_ok, h_abs_cur * factor_bad)
             accepted = ok & ~failed
             Kst = jnp.stack(K)

@@ -90,3 +90,30 @@ def test_termination_states_respect_boundaries():
     overspin = fw >= cfg.max_abs_vel_angle - 1e-3
     assert (crashed_planet | left_border | overspin).all()
     assert fr.min() >= cfg.dnc.planet_radius - tol
+
+
+def test_adaptive_solver_fails_loud_on_singular_lane():
+    """Failure surfacing (SURVEY §5: the reference's only failure check is
+    `assert ode_solution.success`): a lane with singular gravity (ship AT a
+    planet centre -> non-finite RHS) must NaN-POISON that lane and leave the
+    rest of the batch intact.  Regression: a NaN error estimate used to turn
+    the step-size controller's h into NaN, and `nan < min_step` is False, so
+    the adaptive while_loop spun forever — one bad lane wedged the whole
+    lockstep batch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import space_gym_tpu
+    from space_gym_tpu.engine import EnvEngine
+
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"),
+                    physics="adaptive")
+    state, _ = eng.init(jax.random.key(0), 4)
+    y = np.array(np.asarray(state.y), copy=True)
+    y[0, :2] = np.asarray(state.planets_pos)[0, 0]
+    state = state._replace(y=jnp.asarray(y))
+    state2, ts = eng._step_batched(
+        state, jnp.zeros((4, 2), jnp.float32), jax.random.key(1))
+    assert not np.isfinite(np.asarray(state2.y[0])).any()   # poisoned, loud
+    assert np.isfinite(np.asarray(state2.y[1:])).all()      # others intact
