@@ -67,6 +67,23 @@ def main():
     checksum = float(np.sum(np.abs(flat))) + float(np.asarray(state.log_alpha))
     print(f"CHECKSUM {checksum:.17e}", flush=True)
     print(f"METRICS {sorted(vals.items())}", flush=True)
+
+    # FUSED flagship path over the same global mesh: the kernel-layout
+    # FusedState (wmat) is replicated; it must also agree bit-for-bit across
+    # processes after the scanned train_iters' gradient all-reduce.
+    trf = SACTrainer(eng, SACConfig(
+        lanes=32, rollout_len=4, replay_rows=16, batch_size=64,
+        updates_per_iter=2, warmup_rows=4, fused_updates=True, fused_block=64,
+    ))
+    statef = trf.init(jax.random.key(0))
+    statef = place(statef, trainer_state_shardings(statef, mesh, 2))
+    with mesh:
+        statef, mf = trf.train_iters(statef, jax.random.key(9), n=2)
+        valsf = {k: float(np.asarray(v)) for k, v in mf.items()}
+    assert all(np.isfinite(v) for v in valsf.values()), valsf
+    wsum = float(np.sum(np.abs(np.asarray(statef.fused.w))))
+    vsum = float(np.sum(np.abs(np.asarray(statef.fused.vec))))
+    print(f"FUSED_CHECKSUM {wsum:.17e} {vsum:.17e}", flush=True)
     print("WORKER_OK", flush=True)
 
 

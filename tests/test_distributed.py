@@ -65,3 +65,5 @@ def test_two_process_distributed_train_step():
     m0, m1 = field(outs[0][1], "METRICS"), field(outs[1][1], "METRICS")
     assert c0 and c0 == c1, f"replicated params diverged: {c0} vs {c1}"
     assert m0 and m0 == m1, f"metrics diverged: {m0} vs {m1}"
+    f0, f1 = field(outs[0][1], "FUSED_CHECKSUM"), field(outs[1][1], "FUSED_CHECKSUM")
+    assert f0 and f0 == f1, f"replicated FusedState diverged: {f0} vs {f1}"
