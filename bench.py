@@ -211,16 +211,18 @@ def run_bench(args) -> dict:
         backend = "cpu"
     else:
         backend = probe_backend_with_retry(
-            tries=args.probe_tries, timeout_s=args.probe_timeout, wait_s=45.0
+            tries=args.probe_tries, timeout_s=args.probe_timeout,
+            wait_s=args.probe_wait,
         )
 
     import jax
 
     if want_cpu:
-        # The axon sitecustomize force-registers the TPU platform
-        # (jax_platforms defaults to "axon,cpu"); the config update after
-        # import is the only override that sticks (CLAUDE.md gotcha).
-        jax.config.update("jax_platforms", "cpu")
+        # The axon sitecustomize force-registers the TPU platform; the
+        # config update after import is the only override that sticks.
+        from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+        pin_cpu_if_requested(force=True)
 
     eng, run = build(args.batch, args.steps, args.substeps, backend)
     state, _ = eng.init(jax.random.key(0), args.batch)
@@ -266,6 +268,8 @@ def main():
     ap.add_argument("--probe-timeout", type=float, default=300.0,
                     help="per-probe subprocess timeout (fresh Pallas compiles "
                          "through the tunnel take ~4-5 min)")
+    ap.add_argument("--probe-wait", type=float, default=45.0,
+                    help="base backoff between probes (i-th retry waits i*this)")
     ap.add_argument("--budget", type=float, default=2700.0,
                     help="total wall-clock watchdog (s); on expiry the bench "
                          "still prints a parseable JSON error line")

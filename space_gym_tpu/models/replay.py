@@ -61,12 +61,16 @@ def replay_cols(obs_dim: int, action_dim: int):
     a0 = _ceil8(n0 + obs_dim)
     r0 = a0 + action_dim
     d0 = r0 + 1
-    return o0, n0, a0, r0, d0, _ceil8(d0 + 1)
+    # d0+2, not d0+1: the ones row at d0+1 (replay_ones_row) is RESERVED, so
+    # it exists even when d0+1 lands on an 8-boundary (e.g. action_dim=6,
+    # where _ceil8(d0+1) == d0+1 would leave no room and the clamped
+    # dynamic_update_slice in pack_slab would overwrite the discount row).
+    return o0, n0, a0, r0, d0, _ceil8(d0 + 2)
 
 
 def replay_ones_row(obs_dim: int, action_dim: int) -> int:
-    """Row of constant 1.0 inside the 8-alignment padding (d0+1 < W always:
-    d0+1 = a0+action_dim+2 with a0 8-aligned).  The fused learner kernels fold
+    """Row of constant 1.0 at d0+1, explicitly reserved by replay_cols
+    (W = ceil8(d0+2)).  The fused learner kernels fold
     the critics' first-layer bias into the f32 action matmul by contracting
     [action | ones] against [W1_action | b1] — the ones row makes both the
     forward bias add and the backward bias grad-reduce ride existing MXU

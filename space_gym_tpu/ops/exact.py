@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ctypes
 import glob
-import hashlib
 import os
 import subprocess
 import threading
@@ -26,10 +25,11 @@ import threading
 import jax
 import jax.numpy as jnp
 
+from ..utils.native_build import lib_is_fresh, write_stamp
+
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "parity", "native")
 _SRC = os.path.join(_SRC_DIR, "sgt_exactmath.cpp")
 _LIB = os.path.join(_SRC_DIR, "libsgt_exactmath.so")
-_STAMP = _LIB + ".sha"
 
 _lock = threading.Lock()
 _registered = False
@@ -55,26 +55,6 @@ def enabled() -> bool:
     return os.environ.get("SGT_EXACT_MATH") == "1"
 
 
-def _src_digest() -> str:
-    with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
-
-
-def _lib_is_fresh() -> bool:
-    """The committed artifact is the SOURCE, never the binary: the library is
-    (re)built whenever the stamp file doesn't match the source hash.  An
-    mtime check is wrong after a fresh checkout (both mtimes are checkout
-    time) and would dlopen a stale or foreign-arch binary as the parity
-    oracle."""
-    if not os.path.exists(_LIB) or not os.path.exists(_STAMP):
-        return False
-    try:
-        with open(_STAMP) as f:
-            return f.read().strip() == _src_digest()
-    except OSError:
-        return False
-
-
 def _build():
     include = None
     try:
@@ -88,8 +68,7 @@ def _build():
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
     if proc.returncode != 0:
         return proc.stderr[-2000:]
-    with open(_STAMP, "w") as f:
-        f.write(_src_digest())
+    write_stamp(_SRC, _LIB)
     return None
 
 
@@ -102,7 +81,9 @@ def _ensure_registered():
             return True
         if _build_error is not None:
             raise RuntimeError(f"sgt_exactmath unavailable: {_build_error}")
-        if not _lib_is_fresh():
+        # Source-hash stamp, not mtime (utils/native_build.py): a fresh
+        # checkout must never dlopen a stale binary as the parity oracle.
+        if not lib_is_fresh(_SRC, _LIB):
             _build_error = _build()
             if _build_error is not None:
                 raise RuntimeError(f"sgt_exactmath build failed: {_build_error}")

@@ -17,10 +17,11 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils.native_build import lib_is_fresh, write_stamp
+
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SRC = os.path.join(_SRC_DIR, "sgt_native.cpp")
 _LIB = os.path.join(_SRC_DIR, "libsgt_native.so")
-_STAMP = _LIB + ".sha"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -41,28 +42,8 @@ def _build() -> Optional[str]:
         return str(e)
     if proc.returncode != 0:
         return proc.stderr[-2000:]
-    with open(_STAMP, "w") as f:
-        f.write(_src_digest())
+    write_stamp(_SRC, _LIB)
     return None
-
-
-def _src_digest() -> str:
-    import hashlib
-
-    with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
-
-
-def _lib_is_fresh() -> bool:
-    # Source-hash stamp, not mtime: after a fresh checkout both mtimes equal
-    # the checkout time, so an mtime check would trust a stale binary.
-    if not os.path.exists(_LIB) or not os.path.exists(_STAMP):
-        return False
-    try:
-        with open(_STAMP) as f:
-            return f.read().strip() == _src_digest()
-    except OSError:
-        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -70,7 +51,9 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not _lib_is_fresh():
+        # Source-hash stamp, not mtime (utils/native_build.py): a fresh
+        # checkout must never dlopen a stale binary as the parity oracle.
+        if not lib_is_fresh(_SRC, _LIB):
             _build_error = _build()
             if _build_error is not None:
                 return None

@@ -332,7 +332,7 @@ def test_bench_unreachable_backend_emits_error_json():
     env.pop("JAX_PLATFORMS", None)  # ensure the probe path runs (no CPU pin)
     r = subprocess.run(
         [sys.executable, "bench.py", "--probe-tries", "2",
-         "--probe-timeout", "0.001"],
+         "--probe-timeout", "0.001", "--probe-wait", "0"],
         capture_output=True, text=True, timeout=300,
         cwd=os.path.join(os.path.dirname(__file__), ".."), env=env,
     )

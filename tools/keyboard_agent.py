@@ -21,10 +21,9 @@ import time
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+pin_cpu_if_requested()
 
 import space_gym_tpu
 

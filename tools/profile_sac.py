@@ -56,10 +56,9 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        # axon sitecustomize force-registers the TPU platform; the env var
-        # alone is not honored (CLAUDE.md gotcha)
-        jax.config.update("jax_platforms", "cpu")
+    from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+    pin_cpu_if_requested()
     import jax.numpy as jnp
 
     import space_gym_tpu

@@ -93,10 +93,9 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # the axon sitecustomize force-registers the TPU platform; the env
-        # var alone is not honored (see CLAUDE.md)
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+    pin_cpu_if_requested()
     import numpy as np
 
     import space_gym_tpu
