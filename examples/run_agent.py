@@ -33,11 +33,11 @@ def main():
 
     import jax
 
-    # The axon sitecustomize force-registers the TPU platform; honor a
-    # JAX_PLATFORMS=cpu request explicitly (replay is a host workload — the
-    # per-step tunnel round trips would dominate otherwise).
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Replay is a host workload (per-step tunnel round trips would dominate);
+    # JAX_PLATFORMS=cpu pins it via the shared helper.
+    from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+    pin_cpu_if_requested()
     import numpy as np
 
     import space_gym_tpu

@@ -36,10 +36,9 @@ def main():
 
     import jax
 
-    # The axon sitecustomize force-registers the TPU platform; honor an
-    # explicit JAX_PLATFORMS env var (e.g. cpu + virtual devices) anyway.
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+    pin_cpu_if_requested()
     import jax.numpy as jnp
     import numpy as np
 
