@@ -341,3 +341,66 @@ def test_bench_unreachable_backend_emits_error_json():
     assert len(lines) == 1, r.stdout
     d = _json.loads(lines[0])
     assert d["value"] == 0.0 and "error" in d and d["metric"], d
+
+
+def test_supervise_restarts_with_resume(tmp_path):
+    """tools/supervise.py relaunches a crashed child with --resume injected
+    and passes a clean exit through (the unattended-Kepler-run wrapper —
+    tunnel outages killed the round-2 leg twice)."""
+    import json as _json
+    import subprocess, sys, os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sentinel = tmp_path / "crashed_once"
+    child = (
+        "import sys, os\n"
+        f"s = {str(sentinel)!r}\n"
+        "if not os.path.exists(s):\n"
+        "    open(s, 'w').close(); sys.exit(3)\n"
+        "print('child argv:', sys.argv[1:]); sys.exit(0)\n"
+    )
+    log = tmp_path / "sup.log"
+    r = subprocess.run(
+        [sys.executable, "tools/supervise.py", "--no-probe", "--backoff",
+         "0.05", "--log", str(log), "--", sys.executable, "-c", child,
+         "--ckpt", "/tmp/unused"],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    out = r.stdout
+    assert "'--resume'" in out            # injected on the restart only
+    assert "child died; restarting" in out
+    assert "clean exit" in out
+    sup_lines = [_json.loads(l) for l in log.read_text().splitlines()
+                 if l.startswith('{"supervisor"')]
+    assert any(d.get("supervisor") == "clean exit" and d.get("restarts") == 1
+               for d in sup_lines)
+
+
+def test_train_cli_until_return(tmp_path):
+    """--until-return stops the run (after the checkpoint save) once an eval
+    reaches the target, emitting the reached marker."""
+    import json as _json
+    import subprocess, sys, os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    ck = str(tmp_path / "ck")
+    r = subprocess.run(
+        [sys.executable, "tools/train.py", "--env", "GoalContinuous2P-v0",
+         "--algo", "sac", "--lanes", "16", "--rollout-len", "4",
+         "--updates-per-iter", "1", "--batch-size", "32", "--replay-rows",
+         "16", "--eval-every", "1", "--eval-steps", "20", "--scan-chunk", "1",
+         "--log-every", "9", "--iters", "5", "--until-return=-1e18",
+         "--ckpt", ck],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "JAX_COMPILATION_CACHE_DIR": "/tmp/sgt_jax_cache"},
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    rows = [_json.loads(l) for l in r.stdout.splitlines()
+            if l.strip().startswith("{")]
+    reached = [d for d in rows if d.get("reached")]
+    assert reached and reached[0]["iter"] == 1, rows
+    # checkpoint was saved BEFORE stopping
+    assert any(d.get("checkpoint") == ck and d.get("iter") == 1 for d in rows)
+    assert os.path.isdir(ck)

@@ -81,6 +81,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-steps", type=int, default=600)
+    ap.add_argument("--until-return", type=float, default=None,
+                    help="stop (after saving the checkpoint) once an eval "
+                         "mean return reaches this value")
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-every", type=int, default=5)
@@ -242,6 +245,10 @@ def main():
             if args.ckpt:
                 ckpt.save(args.ckpt, state)
                 print(json.dumps(dict(iter=i, checkpoint=args.ckpt)), flush=True)
+            if args.until_return is not None and mean_ret >= args.until_return:
+                print(json.dumps(dict(iter=i, target_return=args.until_return,
+                                      reached=True)), flush=True)
+                break
 
     if args.ckpt:
         ckpt.save(args.ckpt, state)
