@@ -75,9 +75,12 @@ def main():
     ap.add_argument("--target-entropy", type=float, default=None,
                     help="SAC: entropy target for the temperature loss "
                          "(default -dim(A); precision tasks want lower)")
-    ap.add_argument("--fused", action="store_true",
-                    help="SAC: run all K updates as one Pallas kernel "
-                         "(models/fused_sac; packed-jax fallback off TPU)")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=None,
+                    help="SAC/TD3: run all K updates as one Pallas kernel "
+                         "(models/fused_sac|fused_td3; packed-jax fallback "
+                         "off TPU).  Default: on for td3 (TPU-ladder-verified "
+                         "3.17M env-steps/s vs 1.76M unfused), off for sac "
+                         "(opt in with --fused); --no-fused opts out.")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-steps", type=int, default=600)
@@ -93,6 +96,10 @@ def main():
     ap.add_argument("--physics", default=None,
                     help="engine physics mode; default: pallas on TPU, fixed elsewhere")
     args = ap.parse_args()
+    if args.fused is None:
+        # TD3's fused kernel is the measured-on-TPU default (round 3);
+        # SAC stays opt-in so existing run scripts keep their exact behavior.
+        args.fused = args.algo == "td3"
 
     import jax
 
