@@ -88,6 +88,14 @@ def main():
                     help="stop (after saving the checkpoint) once an eval "
                          "mean return reaches this value")
     ap.add_argument("--ckpt", default=None, help="checkpoint directory")
+    ap.add_argument("--ckpt-full-every", type=int, default=1,
+                    help="save the checkpoint every Nth eval instead of every "
+                         "eval.  The full state includes the replay ring "
+                         "(rows x W x lanes, ~0.7 GB at the flagship config), "
+                         "whose device->host pull through the axon tunnel "
+                         "costs ~30 s — at --eval-every 100 that is 5-50x the "
+                         "device time of the 100 iterations themselves.  "
+                         "Outage recovery loses at most N evals of progress.")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-every", type=int, default=5)
     ap.add_argument("--scan-chunk", type=int, default=25,
@@ -249,7 +257,8 @@ def main():
             mean_ret = ret_sum / max(ret_n, 1.0)
             print(json.dumps(dict(iter=i, eval_mean_return=round(mean_ret, 2),
                                   eval_episodes=int(ret_n))), flush=True)
-            if args.ckpt:
+            n_evals = i // args.eval_every
+            if args.ckpt and n_evals % max(1, args.ckpt_full_every) == 0:
                 ckpt.save(args.ckpt, state)
                 print(json.dumps(dict(iter=i, checkpoint=args.ckpt)), flush=True)
             if args.until_return is not None and mean_ret >= args.until_return:
