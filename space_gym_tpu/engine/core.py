@@ -90,6 +90,7 @@ class EnvEngine:
         f32_actions: bool = False,
         pallas_fuse: str = "full",
         in_kernel_rng=False,
+        obs_features: str | None = None,
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -125,6 +126,21 @@ class EnvEngine:
         )
         k = config.kepler
         self._alpha_gm = G * k.planet_mass if k is not None else 0.0
+
+        # Opt-in trainer-side observation featurization: appends analytic
+        # functions of the raw observation (kepler_math.error_features) as an
+        # XLA epilogue AFTER the step/reset kernels, so every physics mode
+        # shares one implementation and the env's own observation (parity
+        # surface, quirk Q1) is untouched when the flag is off (default).
+        # Consumers should size networks/replay off `self.obs_dim`, which
+        # includes the appended features; `config.obs_dim` stays the raw dim.
+        if obs_features not in (None, "kepler"):
+            raise ValueError(f"unknown obs_features {obs_features!r}")
+        if obs_features == "kepler" and config.task != TASK_KEPLER:
+            raise ValueError("obs_features='kepler' requires a Kepler env")
+        self.obs_features = obs_features
+        self.obs_dim = config.obs_dim + (
+            kepler_math.N_ERROR_FEATURES if obs_features else 0)
 
         # --- per-lane randomness budgets, counted by abstract tracing ---
         self.n_reset_rand = self._count_reset()
@@ -174,6 +190,23 @@ class EnvEngine:
         return pol
 
     # ------------------------------------------------- batched entry points --
+    def _augment_obs(self, obs: jax.Array) -> jax.Array:
+        """Append the opt-in obs_features columns (see __init__); identity by
+        default.  obs is (..., config.obs_dim), raw/unnormalized (quirk Q1)."""
+        if not self.obs_features:
+            return obs
+        d = self.config.obs_dim
+        feats = kepler_math.error_features(
+            jnp,
+            jnp.asarray(self._alpha_gm, self.dtype),
+            obs[..., 0:2],                  # pos_xy
+            obs[..., 4:6],                  # vel_xy
+            obs[..., d - 3],                # ref_orbit_angle (kepler.py:180-185)
+            obs[..., d - 2],                # eccentricity
+            obs[..., d - 1],                # semi-major axis
+        )
+        return jnp.concatenate([obs, feats.astype(obs.dtype)], axis=-1)
+
     def _reset_batched(self, key: jax.Array, batch_size: int):
         u = jax.random.uniform(key, (batch_size, self.n_reset_rand), dtype=self.dtype)
 
@@ -181,9 +214,19 @@ class EnvEngine:
             state = self._reset_lane(RandSource(u_lane))
             return state, self._observe(state)
 
-        return jax.vmap(lane)(u)
+        state, obs = jax.vmap(lane)(u)
+        return state, self._augment_obs(obs)
 
     def _step_batched(self, state: EnvState, raw_action, key: jax.Array):
+        state, ts = self._step_inner(state, raw_action, key)
+        if self.obs_features:
+            ts = ts._replace(
+                obs=self._augment_obs(ts.obs),
+                final_obs=self._augment_obs(ts.final_obs),
+            )
+        return state, ts
+
+    def _step_inner(self, state: EnvState, raw_action, key: jax.Array):
         batch = state.y.shape[0]
         u = jax.random.uniform(key, (batch, self.n_step_rand), dtype=self.dtype)
 

@@ -108,6 +108,59 @@ def dense_reward(
     )
 
 
+# Multi-scale tanh gains for `error_features`.  The reward C/(penalty+C)
+# with C=0.01 (gym_space/__init__.py:87) only approaches 1 once the summed
+# orbit deviation is ~1e-2, i.e. per-channel errors of a few 1e-3 on obs
+# whose raw components are O(1) — a plain MLP has almost no input gradient
+# at that resolution.  tanh(g*e) at geometric gains keeps one feature in its
+# linear range at every error magnitude from O(1) down to ~1e-5.
+FEATURE_GAINS = (1.0, 8.0, 64.0, 512.0)
+N_ERROR_FEATURES = 3 * len(FEATURE_GAINS)  # (rad_err, vel_err_x, vel_err_y)
+
+
+def error_features(xp, alpha_gm, pos_xy, vel_xy, ref_angle, ecc, a):
+    """Batched orbit-deviation features, analytic functions of the raw
+    observation (no extra environment information): the radial error
+    cur_rad - target_rad and both components of target_vel - vel — exactly
+    the penalty terms of _dense_reward5 (kepler.py:111-150) — each expanded
+    through tanh at FEATURE_GAINS.  Returns (..., N_ERROR_FEATURES).
+
+    Written with explicit scalar math (no (..,2,2) matmuls) so it stays a
+    fused elementwise epilogue on TPU; all leading batch shapes broadcast.
+    """
+    ca, sa = xp.cos(ref_angle), xp.sin(ref_angle)
+    x, y = pos_xy[..., 0], pos_xy[..., 1]
+    # rotate(pos, ref_angle) then shift by the focal distance (kepler.py:51-58)
+    b = xp.sqrt(a * a * (1.0 - ecc * ecc))
+    c = xp.sqrt(xp.maximum(a * a - b * b, 0.0))
+    w = ca * x + sa * y - c
+    z = -sa * x + ca * y
+    cur_rad = xp.sqrt(w * w + z * z)
+    theta = xp.arctan2(z, w)
+    ecos = ecc * xp.cos(theta)
+    target_rad = b / xp.sqrt(1.0 - ecos * ecos)
+    rad_err = cur_rad - target_rad
+
+    # target velocity (kepler.py:64-88): tangent of the ellipse at the ray
+    # through (w, z), rescaled to the vis-viva speed, rotated back
+    scale = target_rad / xp.maximum(cur_rad, 1e-8)
+    pw, pz = w * scale, z * scale
+    vtw = -(a / b) * pz
+    vtz = (b / a) * pw
+    r = xp.sqrt((pw + c) ** 2 + pz * pz)
+    speed = xp.sqrt(xp.maximum(alpha_gm * (2.0 / r - 1.0 / a), 0.0))
+    vn = xp.sqrt(vtw * vtw + vtz * vtz)
+    vtw, vtz = vtw * speed / xp.maximum(vn, 1e-8), vtz * speed / xp.maximum(vn, 1e-8)
+    tvx = ca * vtw - sa * vtz
+    tvy = sa * vtw + ca * vtz
+    ev_x = tvx - vel_xy[..., 0]
+    ev_y = tvy - vel_xy[..., 1]
+
+    errs = xp.stack([rad_err, ev_x, ev_y], axis=-1)
+    feats = [xp.tanh(g * errs) for g in FEATURE_GAINS]
+    return xp.concatenate(feats, axis=-1)
+
+
 def specific_energy(xp, alpha_gm, pos_xy, vel_xy):
     """Specific orbital energy v^2/2 - GM/r — the reference's unused _H helper
     (kepler.py:20-29) promoted to a real analysis/testing utility: conserved

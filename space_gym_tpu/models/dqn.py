@@ -55,7 +55,7 @@ class DQNTrainer:
             raise ValueError("DQN requires a discrete-action env config")
         self.engine = engine
         self.cfg = config
-        self.obs_dim = engine.config.obs_dim
+        self.obs_dim = engine.obs_dim
         self.n_actions = engine.config.n_actions
         self.qnet = networks.MLP((*config.hidden, self.n_actions))
         self.optim = optax.adam(config.lr)

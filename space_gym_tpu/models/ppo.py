@@ -64,7 +64,7 @@ class PPOTrainer:
                 f"minibatches={c.minibatches} of whole {LANE_TILE}-lane tiles")
         self.engine = engine
         self.cfg = config
-        self.obs_dim = engine.config.obs_dim
+        self.obs_dim = engine.obs_dim
         self.action_dim = engine.config.action_dim
         self.net = networks.GaussianActorValue(self.action_dim, config.hidden)
         self.opt = optax.chain(

@@ -97,7 +97,7 @@ class SACTrainer:
             raise ValueError("SAC requires a continuous-action env config")
         self.engine = engine
         self.cfg = config
-        self.obs_dim = engine.config.obs_dim
+        self.obs_dim = engine.obs_dim
         self.action_dim = engine.config.action_dim
         if config.fused_updates and self.action_dim != 2:
             # The fused kernels' packed replay layout hard-codes action_dim=2

@@ -68,7 +68,7 @@ class TD3Trainer:
             raise ValueError("TD3 requires a continuous-action env config")
         self.engine = engine
         self.cfg = config
-        self.obs_dim = engine.config.obs_dim
+        self.obs_dim = engine.obs_dim
         self.action_dim = engine.config.action_dim
         if config.fused_updates and self.action_dim != 2:
             # fused_td3's packed replay layout hard-codes AH=2; see the same

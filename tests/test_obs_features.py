@@ -1,0 +1,108 @@
+"""Opt-in trainer-side observation featurization (engine obs_features).
+
+The features are analytic functions of the raw observation only (no
+privileged state): the penalty terms of _dense_reward5
+(gym_space/envs/kepler.py:111-150) expanded through multi-scale tanh.
+Default engines must be bit-identical to before the flag existed.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import space_gym_tpu
+from space_gym_tpu.engine import EnvEngine
+from space_gym_tpu.envs import kepler_math as km
+
+
+def test_default_engine_unchanged():
+    cfg = space_gym_tpu.get_config("KeplerCircleOrbit-v0")
+    plain = EnvEngine(cfg, physics="fixed")
+    feat = EnvEngine(cfg, physics="fixed", obs_features="kepler")
+    assert plain.obs_dim == cfg.obs_dim
+    assert feat.obs_dim == cfg.obs_dim + km.N_ERROR_FEATURES
+
+    sp, op = plain._reset_batched(jax.random.key(3), 16)
+    sf, of = feat._reset_batched(jax.random.key(3), 16)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(of[:, : cfg.obs_dim]))
+    a = jnp.full((16, 2), 0.25, jnp.float32)
+    sp, tsp = plain._step_batched(sp, a, jax.random.key(4))
+    sf, tsf = feat._step_batched(sf, a, jax.random.key(4))
+    # identical env dynamics/reward; featurized obs extends the raw obs
+    np.testing.assert_array_equal(np.asarray(tsp.reward), np.asarray(tsf.reward))
+    np.testing.assert_array_equal(
+        np.asarray(tsp.obs), np.asarray(tsf.obs[:, : cfg.obs_dim]))
+    np.testing.assert_array_equal(
+        np.asarray(tsp.final_obs), np.asarray(tsf.final_obs[:, : cfg.obs_dim]))
+
+
+def test_features_match_reference_orbit_math():
+    """Scalar-math featurizer == the matrix-form parity functions (f64)."""
+    cfg = space_gym_tpu.get_config("KeplerEllipseEasy-v0")  # ecc != 0 path
+    eng = EnvEngine(cfg, physics="fixed", obs_features="kepler")
+    state, obs = eng._reset_batched(jax.random.key(0), 8)
+    state, ts = eng._step_batched(
+        state, jnp.zeros((8, 2), jnp.float32), jax.random.key(1))
+    raw = np.asarray(ts.final_obs[:, : cfg.obs_dim], np.float64)
+    feats = np.asarray(ts.final_obs[:, cfg.obs_dim :], np.float64)
+    alpha = km.G * cfg.kepler.planet_mass
+    for i in range(raw.shape[0]):
+        pos, vel = raw[i, 0:2], raw[i, 4:6]
+        ang, ecc, a = raw[i, 7], raw[i, 8], raw[i, 9]
+        cur = km.orbit_cur_rad(np, pos, ang, a, ecc)
+        tgt = km.orbit_target_rad(np, pos, ang, a, ecc)
+        tv = km.orbit_target_vel(np, alpha, pos, ang, a, ecc)
+        e = np.array([cur - tgt, tv[0] - vel[0], tv[1] - vel[1]])
+        exp = np.concatenate([np.tanh(g * e) for g in km.FEATURE_GAINS])
+        np.testing.assert_allclose(feats[i], exp, atol=5e-6)
+
+
+def test_features_invert_to_reward():
+    """On lanes where the penalty is small enough that tanh(e) is invertible,
+    C/(2|rad_err|+|ev_x|+|ev_y|+C) from the features reproduces the engine's
+    zero-action reward (independent reward path through kepler_math)."""
+    cfg = space_gym_tpu.get_config("KeplerCircleOrbit-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="kepler")
+    state, obs = eng._reset_batched(jax.random.key(7), 64)
+    state, ts = eng._step_batched(
+        state, jnp.zeros((64, 2), jnp.float32), jax.random.key(8))
+    d = cfg.obs_dim
+    e = np.asarray(ts.final_obs[:, d : d + 3], np.float64)
+    small = np.max(np.abs(e), axis=1) < 0.9  # away from tanh saturation
+    assert small.any()
+    e = np.arctanh(e[small])
+    C = cfg.kepler.numerator_C
+    # act_penalty uses the TRANSLATED action (spaceship_env.py:72-73):
+    # raw zeros -> [(0+1)/2, 0], norm 0.5
+    act_pen = cfg.kepler.act_penalty_C * 0.5
+    pen = (cfg.kepler.rad_penalty_C * np.abs(e[:, 0])
+           + np.abs(e[:, 1]) + np.abs(e[:, 2]) + act_pen)
+    # reward is computed pre-reset, so compare on non-done lanes only
+    ok = ~np.asarray(ts.done)[small]
+    pred = (C / (pen + C))[ok]
+    got = np.asarray(ts.reward, np.float64)[small][ok]
+    np.testing.assert_allclose(got, pred, rtol=2e-2)
+
+
+def test_sac_trainer_with_features():
+    """SACTrainer sizes nets/replay off engine.obs_dim and trains."""
+    from space_gym_tpu.models import SACConfig, SACTrainer
+
+    cfg = space_gym_tpu.get_config("KeplerCircleOrbit-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="kepler")
+    tr = SACTrainer(eng, SACConfig(
+        lanes=8, rollout_len=4, replay_rows=16, batch_size=16,
+        updates_per_iter=1, warmup_rows=1, hidden=(32, 32)))
+    assert tr.obs_dim == cfg.obs_dim + km.N_ERROR_FEATURES
+    st = tr.init(jax.random.key(0))
+    assert st.obs.shape == (8, tr.obs_dim)
+    st, m = tr.train_iter(st, jax.random.key(1))
+    assert np.isfinite(float(np.asarray(m["critic_loss"])))
+    a = tr.eval_act(st.actor_params, st.obs)
+    assert a.shape == (8, 2)
+
+
+def test_rejects_non_kepler():
+    cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
+    with pytest.raises(ValueError):
+        EnvEngine(cfg, physics="fixed", obs_features="kepler")

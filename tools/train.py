@@ -103,6 +103,13 @@ def main():
                          "amortizes per-dispatch tunnel latency")
     ap.add_argument("--physics", default=None,
                     help="engine physics mode; default: pallas on TPU, fixed elsewhere")
+    ap.add_argument("--obs-features", default=None, choices=["kepler"],
+                    help="append analytic obs features at the engine boundary "
+                         "(Kepler: orbit-error terms through multi-scale tanh; "
+                         "see kepler_math.error_features).  Changes obs_dim, "
+                         "so checkpoints are format-compatible only with runs "
+                         "using the same flag (tools/restore_learner.py "
+                         "--expand-obs migrates old learners).")
     args = ap.parse_args()
     if args.fused is None:
         # TD3's fused kernel is the measured-on-TPU default (round 3);
@@ -126,7 +133,8 @@ def main():
     from space_gym_tpu.utils.profiling import ThroughputMeter
 
     physics = args.physics or ("pallas" if jax.default_backend() == "tpu" else "fixed")
-    eng = EnvEngine(space_gym_tpu.get_config(args.env), physics=physics)
+    eng = EnvEngine(space_gym_tpu.get_config(args.env), physics=physics,
+                    obs_features=args.obs_features)
     kw = dict(
         lanes=args.lanes,
         rollout_len=args.rollout_len,
@@ -218,11 +226,45 @@ def main():
         eval_params = lambda st: st.params
     else:
         eval_params = lambda st: st.actor_params
+
+    def save_learner_npz(path, st, **extra):
+        """Compact fused-learner snapshot (the format tools/restore_learner.py
+        rebuilds a resumable checkpoint from) — milliseconds vs ~30 s for the
+        full state with the 0.7 GB replay ring."""
+        fused = getattr(st, "fused", None)
+        if fused is None:
+            return False
+        arrs = {f: np.asarray(getattr(fused, f)) for f in fused._fields}
+        if hasattr(st, "log_alpha"):
+            arrs["log_alpha"] = np.asarray(st.log_alpha)
+        arrs["step"] = np.asarray(st.step)
+        arrs.update({k: np.asarray(v) for k, v in extra.items()})
+        np.savez(path + ".tmp", **arrs)
+        os.replace(path + ".tmp.npz", path)
+        return True
+
+    # Best-eval learner retention: the Kepler eval curve oscillates (the
+    # reference's own SB3 curves do too, imgs/KeplerCircleOrbit-v0__sac.png),
+    # so the FINAL checkpoint of a long run can be far below its best.
+    best_path = (args.ckpt.rstrip("/") + ".best.npz") if args.ckpt else None
+    best_ret = -float("inf")
+    if args.resume and best_path and os.path.exists(best_path):
+        with np.load(best_path) as z:
+            if "eval_return" in z:
+                best_ret = float(z["eval_return"])
+        print(f"best-so-far eval {best_ret:.2f} ({best_path})")
+
     eval_run = None
     # SAC exposes train_iters (n iterations scanned into ONE device program);
     # each dispatch through the axon tunnel costs ~1-3 ms, which is >30% of a
     # fused train_iter.  Chunks end exactly on log/eval boundaries.
     has_scan = hasattr(trainer, "train_iters") and args.scan_chunk > 1
+    # Metrics pipeline: syncing every chunk leaves the device idle for the
+    # ~60 ms fetch round-trip (~25% of a 220 ms chunk).  Instead dispatch
+    # chunk k+1 first, then sync chunk k — at most two programs in flight
+    # (bounded enqueue through the tunnel), fetch latency hidden behind
+    # device execution.  Boundaries (log/eval/end) drain fully.
+    pending = None  # (metrics, env_steps) of the previously dispatched chunk
     i = 0
     while i < args.iters:
         nb = ((i // args.log_every) + 1) * args.log_every
@@ -235,16 +277,26 @@ def main():
             state, metrics = trainer.train_iters(state, k_iter, n=n)
         else:
             state, metrics = trainer.train_iter(state, k_iter)
-        reward = float(np.asarray(metrics["mean_reward"]))  # sync point
-        meter.tick(n * steps_per_iter)
         i += n
+        if pending is not None:
+            _ = float(np.asarray(pending[0]["mean_reward"]))  # sync k-1
+            meter.tick(pending[1])
+            pending = None
+        boundary = (
+            i % args.log_every == 0 or i >= args.iters
+            or (args.eval_every and i % args.eval_every == 0)
+        )
+        if not boundary:
+            pending = (metrics, n * steps_per_iter)
+            continue
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}  # sync k
+        meter.tick(n * steps_per_iter)
         if i % args.log_every == 0 or i >= args.iters:
-            m = {k: round(float(np.asarray(v)), 4) for k, v in metrics.items()}
             print(
                 json.dumps(
                     dict(iter=i, env_steps=i * steps_per_iter,
                          steps_per_s=round(meter.rate, 0) if meter.rate == meter.rate else None,
-                         **m)
+                         **{k: round(v, 4) for k, v in m.items()})
                 ),
                 flush=True,
             )
@@ -257,6 +309,13 @@ def main():
             mean_ret = ret_sum / max(ret_n, 1.0)
             print(json.dumps(dict(iter=i, eval_mean_return=round(mean_ret, 2),
                                   eval_episodes=int(ret_n))), flush=True)
+            if best_path and mean_ret > best_ret:
+                best_ret = mean_ret
+                if save_learner_npz(best_path, state,
+                                    eval_return=mean_ret, eval_iter=i):
+                    print(json.dumps(dict(iter=i, best_learner=best_path,
+                                          eval_mean_return=round(mean_ret, 2))),
+                          flush=True)
             n_evals = i // args.eval_every
             if args.ckpt and n_evals % max(1, args.ckpt_full_every) == 0:
                 ckpt.save(args.ckpt, state)
