@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--out", default="/tmp/spacegym_replays")
     ap.add_argument("--display", action="store_true", help="live window instead of GIFs")
     ap.add_argument("--every", type=int, default=2, help="render every k-th step")
+    ap.add_argument("--obs-features", default=None, choices=["kepler"],
+                    help="must match the checkpoint's training --obs-features "
+                         "(the actor's input includes the appended features)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,8 @@ def main():
     )
     from space_gym_tpu.utils import checkpoint as ckpt
 
-    eng = EnvEngine(space_gym_tpu.get_config(args.env))
+    eng = EnvEngine(space_gym_tpu.get_config(args.env),
+                    obs_features=args.obs_features)
     # Tiny trainer shell just to materialize the parameter template.
     kw = dict(lanes=16, rollout_len=4, replay_rows=8, batch_size=32, updates_per_iter=1)
     if args.algo == "ppo":
@@ -80,7 +84,10 @@ def main():
         frames = []
         total, done, t = 0.0, False, 0
         while not done:
-            a = np.asarray(trainer.eval_act(params, obs[None]))[0]
+            ob = np.asarray(obs, np.float32)[None]
+            if args.obs_features:
+                ob = np.asarray(eng._augment_obs(ob))
+            a = np.asarray(trainer.eval_act(params, ob))[0]
             obs, r, done, _ = env.step(a.astype(np.float32))
             total += r
             if args.display:

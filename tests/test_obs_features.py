@@ -106,3 +106,70 @@ def test_rejects_non_kepler():
     cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
     with pytest.raises(ValueError):
         EnvEngine(cfg, physics="fixed", obs_features="kepler")
+
+
+def test_learner_obs_expansion_function_preserving():
+    """restore_learner's obs_dim migration: the expanded fused learner (new
+    feature columns through zero first-layer rows, critic action rows
+    shifted) computes EXACTLY the same actor and critic outputs on augmented
+    obs as the original on raw obs, and preserves the Adam count."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from restore_learner import expand_first_layer
+
+    from space_gym_tpu.models import SACConfig, SACTrainer, networks
+    from space_gym_tpu.models import fused_sac as fs
+
+    cfg = space_gym_tpu.get_config("KeplerCircleOrbit-v0")
+    kw = dict(lanes=8, rollout_len=4, replay_rows=16, batch_size=16,
+              updates_per_iter=1, warmup_rows=1, fused_updates=True,
+              fused_block=16)
+    old_tr = SACTrainer(EnvEngine(cfg, physics="fixed"), SACConfig(**kw))
+    new_eng = EnvEngine(cfg, physics="fixed", obs_features="kepler")
+    new_tr = SACTrainer(new_eng, SACConfig(**kw))
+    old_st = old_tr.init(jax.random.key(0))
+    for i in range(3):  # non-trivial weights/moments
+        old_st, _ = old_tr.train_iter(old_st, jax.random.key(i + 1))
+
+    old_d, new_d = old_tr.obs_dim, new_tr.obs_dim
+    hidden = old_tr.cfg.hidden
+    k = jax.random.key(0)
+    a_tpl = networks.TanhGaussianActor(2, hidden).init(
+        k, jnp.zeros((1, old_d), jnp.float32))
+    c_tpl = networks.DoubleCritic(hidden).init(
+        k, jnp.zeros((1, old_d), jnp.float32), jnp.zeros((1, 2), jnp.float32))
+    packed, adam = fs.fused_unpack(old_st.fused)
+
+    def expand_packed(p):
+        a, c, t, la = fs.unpack_params(p, a_tpl, c_tpl)
+        a = expand_first_layer(a, old_d, new_d, has_action=False)
+        c = expand_first_layer(c, old_d, new_d, has_action=True)
+        t = expand_first_layer(t, old_d, new_d, has_action=True)
+        return fs.pack_params(a, c, t, la)
+
+    fused2 = fs.fused_init(
+        expand_packed(packed),
+        fs.PackedAdam(m=expand_packed(adam.m), v=expand_packed(adam.v),
+                      count=adam.count))
+
+    raw_obs = old_st.obs
+    aug_obs = new_eng._augment_obs(raw_obs)
+    a_old = old_tr.eval_act(old_st.actor_params, raw_obs)
+    a_new = new_tr.eval_act(
+        fs.unpack_actor(fused2.w, fused2.vec, new_d, 2), aug_obs)
+    np.testing.assert_array_equal(np.asarray(a_old), np.asarray(a_new))
+
+    c_tpl2 = networks.DoubleCritic(hidden).init(
+        k, jnp.zeros((1, new_d), jnp.float32), jnp.zeros((1, 2), jnp.float32))
+    a_tpl2 = networks.TanhGaussianActor(2, hidden).init(
+        k, jnp.zeros((1, new_d), jnp.float32))
+    p2, ad2 = fs.fused_unpack(fused2)
+    _, c1, _, _ = fs.unpack_params(packed, a_tpl, c_tpl)
+    _, c2, _, _ = fs.unpack_params(p2, a_tpl2, c_tpl2)
+    q1o, q2o = networks.DoubleCritic(hidden).apply(c1, raw_obs, a_old)
+    q1n, q2n = networks.DoubleCritic(hidden).apply(c2, aug_obs, a_old)
+    np.testing.assert_array_equal(np.asarray(q1o), np.asarray(q1n))
+    np.testing.assert_array_equal(np.asarray(q2o), np.asarray(q2n))
+    assert int(ad2.count) == int(adam.count)
