@@ -61,19 +61,35 @@ def main():
         trainer = (SACTrainer(eng, SACConfig(**kw)) if args.algo == "sac"
                    else TD3Trainer(eng, TD3Config(**kw)))
     pfield = "params" if args.algo == "ppo" else "actor_params"
-    template = trainer.init(jax.random.key(0))
-    try:
-        state = ckpt.restore(args.ckpt, template)
-    except Exception:
-        # Checkpoints written with different lanes/replay shapes: restore only
-        # the actor parameters (everything the replay needs).
-        import orbax.checkpoint as ocp
+    if args.ckpt.endswith(".npz"):
+        # Compact learner npz (train.py <ckpt>.best.npz sidecar or a docs/
+        # backup): slice the actor straight out of the fused kernel layout.
+        if args.algo == "ppo":
+            raise SystemExit("npz learners are SAC/TD3 fused-kernel format")
+        import jax.numpy as jnp
 
-        with ocp.StandardCheckpointer() as c:
-            raw = c.restore(os.path.abspath(args.ckpt), None)
-        state = template._replace(**{pfield: jax.tree.map(
-            lambda x: x, raw[pfield])})
-    params = getattr(state, pfield)
+        if args.algo == "sac":
+            from space_gym_tpu.models.fused_sac import unpack_actor
+        else:
+            from space_gym_tpu.models.fused_td3 import unpack_actor
+
+        z = np.load(args.ckpt)
+        params = unpack_actor(
+            jnp.asarray(z["w"]), jnp.asarray(z["vec"]), eng.obs_dim, 2)
+    else:
+        template = trainer.init(jax.random.key(0))
+        try:
+            state = ckpt.restore(args.ckpt, template)
+        except Exception:
+            # Checkpoints written with different lanes/replay shapes: restore
+            # only the actor parameters (everything the replay needs).
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as c:
+                raw = c.restore(os.path.abspath(args.ckpt), None)
+            state = template._replace(**{pfield: jax.tree.map(
+                lambda x: x, raw[pfield])})
+        params = getattr(state, pfield)
 
     env = space_gym_tpu.make(args.env)
     env.seed(args.seed)
