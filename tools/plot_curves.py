@@ -59,8 +59,8 @@ def main():
                     help="label=path[,path...] (chained resumed runs)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--title", default="")
-    ap.add_argument("--hline", type=float, default=None)
-    ap.add_argument("--hline-label", default="")
+    ap.add_argument("--hline", type=float, action="append", default=None)
+    ap.add_argument("--hline-label", action="append", default=None)
     args = ap.parse_args()
 
     import matplotlib
@@ -78,10 +78,11 @@ def main():
         ax.plot([x / 1e6 for x in xs], ys, color=SERIES[i % len(SERIES)],
                 linewidth=2, label=label, solid_capstyle="round")
 
-    if args.hline is not None:
-        ax.axhline(args.hline, color=TEXT2, linewidth=1, linestyle=(0, (4, 4)))
-        if args.hline_label:
-            ax.annotate(args.hline_label, xy=(0.99, args.hline),
+    for j, h in enumerate(args.hline or []):
+        ax.axhline(h, color=TEXT2, linewidth=1, linestyle=(0, (4, 4)))
+        labels = args.hline_label or []
+        if j < len(labels) and labels[j]:
+            ax.annotate(labels[j], xy=(0.99, h),
                         xycoords=("axes fraction", "data"),
                         xytext=(0, 4), textcoords="offset points",
                         ha="right", fontsize=8, color=TEXT2)
