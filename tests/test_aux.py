@@ -404,3 +404,45 @@ def test_train_cli_until_return(tmp_path):
     # checkpoint was saved BEFORE stopping
     assert any(d.get("checkpoint") == ck and d.get("iter") == 1 for d in rows)
     assert os.path.isdir(ck)
+
+
+def test_train_cli_obs_features_best_sidecar(tmp_path):
+    """Featurized training through the real CLI: --obs-features kepler trains
+    and checkpoints; a best-eval learner npz sidecar is written on improving
+    evals; resume picks up both the checkpoint and the best-so-far value;
+    the sidecar replays through examples/run_agent.py --ckpt <npz>."""
+    import json as _json
+    import subprocess, sys, os
+
+    import numpy as np
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    ck = str(tmp_path / "ck")
+    base = [sys.executable, "tools/train.py", "--env", "KeplerCircleOrbit-v0",
+            "--algo", "sac", "--fused", "--obs-features", "kepler",
+            "--lanes", "16", "--rollout-len", "4", "--updates-per-iter", "1",
+            "--batch-size", "32", "--replay-rows", "16", "--eval-every", "2",
+            "--eval-steps", "20", "--scan-chunk", "2", "--log-every", "4",
+            "--ckpt", ck]
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/sgt_jax_cache"}
+
+    def run(cmd):
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                           cwd=repo, env=env)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        return r.stdout
+
+    out = run(base + ["--iters", "4"])
+    best = ck + ".best.npz"
+    assert os.path.exists(best), out
+    z = np.load(best)
+    assert {"w", "vec", "log_alpha", "step", "eval_return"} <= set(z.files)
+    out = run(base + ["--iters", "2", "--resume"])
+    assert "resumed from" in out and "best-so-far eval" in out
+
+    out = run([sys.executable, "examples/run_agent.py", "--ckpt", best,
+               "--env", "KeplerCircleOrbit-v0", "--obs-features", "kepler",
+               "--episodes", "1", "--every", "1000000",
+               "--out", str(tmp_path / "gifs")])
+    assert "mean return:" in out
