@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--out", default="/tmp/spacegym_replays")
     ap.add_argument("--display", action="store_true", help="live window instead of GIFs")
     ap.add_argument("--every", type=int, default=2, help="render every k-th step")
-    ap.add_argument("--obs-features", default=None, choices=["kepler"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
                     help="must match the checkpoint's training --obs-features "
                          "(the actor's input includes the appended features)")
     args = ap.parse_args()
@@ -74,6 +74,19 @@ def main():
             from space_gym_tpu.models.fused_td3 import unpack_actor
 
         z = np.load(args.ckpt)
+        # Newer npzs record their training obs_dim/obs_features; a mismatch
+        # with the replay engine would silently mis-slice the packed actor
+        # (first-layer rows read from the wrong offsets) — fail loud instead.
+        if "obs_dim" in z.files and int(z["obs_dim"]) != eng.obs_dim:
+            raise SystemExit(
+                f"npz was trained at obs_dim {int(z['obs_dim'])} but the "
+                f"replay engine has obs_dim {eng.obs_dim} — pass the "
+                "matching --obs-features (or migrate via "
+                "tools/restore_learner.py)")
+        if "obs_features" in z.files and (str(z["obs_features"]) or None) != args.obs_features:
+            raise SystemExit(
+                f"npz was trained with obs_features={str(z['obs_features']) or None!r}; "
+                f"pass the same --obs-features (got {args.obs_features!r})")
         params = unpack_actor(
             jnp.asarray(z["w"]), jnp.asarray(z["vec"]), eng.obs_dim, 2)
     else:

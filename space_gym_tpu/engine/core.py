@@ -36,7 +36,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..envs import kepler_math
+from ..envs import goal_math, kepler_math
 from ..envs.config import DISCRETE_ACTIONS, TASK_GOAL, TASK_KEPLER, EnvConfig
 from ..ops import events as events_mod
 from ..ops import exact
@@ -134,13 +134,18 @@ class EnvEngine:
         # surface, quirk Q1) is untouched when the flag is off (default).
         # Consumers should size networks/replay off `self.obs_dim`, which
         # includes the appended features; `config.obs_dim` stays the raw dim.
-        if obs_features not in (None, "kepler"):
+        if obs_features not in (None, "kepler", "goal"):
             raise ValueError(f"unknown obs_features {obs_features!r}")
         if obs_features == "kepler" and config.task != TASK_KEPLER:
             raise ValueError("obs_features='kepler' requires a Kepler env")
+        if obs_features == "goal" and config.task != TASK_GOAL:
+            raise ValueError("obs_features='goal' requires a Goal env")
         self.obs_features = obs_features
-        self.obs_dim = config.obs_dim + (
-            kepler_math.N_ERROR_FEATURES if obs_features else 0)
+        self.obs_dim = config.obs_dim + {
+            None: 0,
+            "kepler": kepler_math.N_ERROR_FEATURES,
+            "goal": goal_math.N_GOAL_FEATURES,
+        }[obs_features]
 
         # --- per-lane randomness budgets, counted by abstract tracing ---
         self.n_reset_rand = self._count_reset()
@@ -196,15 +201,18 @@ class EnvEngine:
         if not self.obs_features:
             return obs
         d = self.config.obs_dim
-        feats = kepler_math.error_features(
-            jnp,
-            jnp.asarray(self._alpha_gm, self.dtype),
-            obs[..., 0:2],                  # pos_xy
-            obs[..., 4:6],                  # vel_xy
-            obs[..., d - 3],                # ref_orbit_angle (kepler.py:180-185)
-            obs[..., d - 2],                # eccentricity
-            obs[..., d - 1],                # semi-major axis
-        )
+        if self.obs_features == "goal":
+            feats = goal_math.features_for_config(jnp, obs, self.config)
+        else:
+            feats = kepler_math.error_features(
+                jnp,
+                jnp.asarray(self._alpha_gm, self.dtype),
+                obs[..., 0:2],                  # pos_xy
+                obs[..., 4:6],                  # vel_xy
+                obs[..., d - 3],                # ref_orbit_angle (kepler.py:180-185)
+                obs[..., d - 2],                # eccentricity
+                obs[..., d - 1],                # semi-major axis
+            )
         return jnp.concatenate([obs, feats.astype(obs.dtype)], axis=-1)
 
     def _reset_batched(self, key: jax.Array, batch_size: int):

@@ -114,4 +114,7 @@ def onehot_take(table: jax.Array, idx: jax.Array) -> jax.Array:
     extra = table.ndim - 1
     oh = oh.reshape(oh.shape + (1,) * extra)
     t = table.reshape((1,) * (oh.ndim - table.ndim) + table.shape)
-    return jnp.sum(jnp.where(oh, t, 0), axis=-1 - extra)
+    # dtype=table.dtype: numpy's sum promotes sub-default ints (int32 under
+    # x64 -> int64), which would silently widen carried int32 state (e.g.
+    # TilingState.ship_tile) and break lax.scan carry-type invariance.
+    return jnp.sum(jnp.where(oh, t, 0), axis=-1 - extra, dtype=table.dtype)

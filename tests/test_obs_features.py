@@ -173,3 +173,109 @@ def test_learner_obs_expansion_function_preserving():
     np.testing.assert_array_equal(np.asarray(q1o), np.asarray(q1n))
     np.testing.assert_array_equal(np.asarray(q2o), np.asarray(q2n))
     assert int(ad2.count) == int(adam.count)
+
+
+# ---------------------------------------------------------------- goal -----
+
+
+def test_goal_default_engine_unchanged():
+    from space_gym_tpu.envs import goal_math as gm
+
+    cfg = space_gym_tpu.get_config("GoalContinuous3P-v0")
+    plain = EnvEngine(cfg, physics="fixed")
+    feat = EnvEngine(cfg, physics="fixed", obs_features="goal")
+    assert feat.obs_dim == cfg.obs_dim + gm.N_GOAL_FEATURES
+
+    sp, op = plain._reset_batched(jax.random.key(3), 16)
+    sf, of = feat._reset_batched(jax.random.key(3), 16)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(of[:, : cfg.obs_dim]))
+    a = jnp.full((16, 2), 0.25, jnp.float32)
+    sp, tsp = plain._step_batched(sp, a, jax.random.key(4))
+    sf, tsf = feat._step_batched(sf, a, jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(tsp.reward), np.asarray(tsf.reward))
+    np.testing.assert_array_equal(
+        np.asarray(tsp.obs), np.asarray(tsf.obs[:, : cfg.obs_dim]))
+    np.testing.assert_array_equal(
+        np.asarray(tsp.final_obs), np.asarray(tsf.final_obs[:, : cfg.obs_dim]))
+
+
+def test_goal_features_vs_state_ground_truth():
+    """The lidar-derived features reproduce quantities computed from the
+    env state's ACTUAL goal/planet positions (independent of the lidar
+    encoding): goal distance/closing speed, closest-planet surface margin,
+    and the net gravitational acceleration (ops/maths.gravity_force law)."""
+    from space_gym_tpu.envs import goal_math as gm
+    from space_gym_tpu.ops.constants import G
+
+    cfg = space_gym_tpu.get_config("GoalContinuous4P-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="goal")
+    # Compare at reset: after a step, state.goal_pos can already be the NEXT
+    # goal (mid-episode resample, quirk Q11) while obs encodes the old one.
+    state, obs = eng._reset_batched(jax.random.key(11), 32)
+    feats = np.asarray(obs[:, cfg.obs_dim :], np.float64)
+    pos = np.asarray(state.y[:, 0:2], np.float64)
+    vel = np.asarray(state.y[:, 3:5], np.float64)
+    planets = np.asarray(state.planets_pos, np.float64)  # (B, P, 2)
+    goal = np.asarray(state.goal_pos, np.float64)        # (B, 2)
+    gmass = G * cfg.planet_masses[0]
+
+    n_dist = len(gm.DIST_GAINS)
+    n_vel = len(gm.VEL_GAINS)
+    for i in range(32):
+        gvec = goal[i] - pos[i]
+        d = np.linalg.norm(gvec)
+        ghat = gvec / d
+        # goal margin feature (gain 1)
+        np.testing.assert_allclose(
+            feats[i, 0], np.tanh(d - cfg.goal_radius), atol=1e-5)
+        # closing speed (gain 1)
+        np.testing.assert_allclose(
+            feats[i, n_dist], np.tanh(vel[i] @ ghat), atol=1e-5)
+        # closest-planet margin (gain 1)
+        surf = np.linalg.norm(planets[i] - pos[i], axis=-1) - cfg.planet_radii[0]
+        k0 = n_dist + 2 * n_vel + 2
+        np.testing.assert_allclose(
+            feats[i, k0], np.tanh(surf.min() - cfg.goal.danger_zone), atol=1e-5)
+        # net gravity vector (gain GRAV_GAINS[0]) vs Newton's law
+        dvec = planets[i] - pos[i]
+        r = np.linalg.norm(dvec, axis=-1, keepdims=True)
+        acc = (gmass * dvec / r**3).sum(axis=0)
+        k1 = k0 + len(gm.DANGER_GAINS) + n_vel + 1
+        np.testing.assert_allclose(
+            feats[i, k1], np.tanh(gm.GRAV_GAINS[0] * acc[0]), atol=1e-4)
+        np.testing.assert_allclose(
+            feats[i, k1 + len(gm.GRAV_GAINS)],
+            np.tanh(gm.GRAV_GAINS[0] * acc[1]), atol=1e-4)
+
+
+def test_goal_features_np_jnp_agree():
+    from space_gym_tpu.envs import goal_math as gm
+
+    cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
+    eng = EnvEngine(cfg, physics="fixed")
+    _, obs = eng._reset_batched(jax.random.key(5), 16)
+    f_np = gm.features_for_config(np, np.asarray(obs), cfg)
+    f_j = np.asarray(gm.features_for_config(jnp, obs, cfg))
+    assert f_np.shape == (16, gm.N_GOAL_FEATURES)
+    np.testing.assert_allclose(f_np, f_j, atol=1e-6)
+
+
+def test_goal_features_reject_wrong_task():
+    cfg = space_gym_tpu.get_config("KeplerCircleOrbit-v0")
+    with pytest.raises(ValueError):
+        EnvEngine(cfg, physics="fixed", obs_features="goal")
+
+
+def test_sac_trainer_with_goal_features():
+    from space_gym_tpu.envs import goal_math as gm
+    from space_gym_tpu.models import SACConfig, SACTrainer
+
+    cfg = space_gym_tpu.get_config("GoalContinuous3P-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="goal")
+    tr = SACTrainer(eng, SACConfig(
+        lanes=8, rollout_len=4, replay_rows=16, batch_size=16,
+        updates_per_iter=1, warmup_rows=1, hidden=(32, 32)))
+    assert tr.obs_dim == cfg.obs_dim + gm.N_GOAL_FEATURES
+    st = tr.init(jax.random.key(0))
+    st, m = tr.train_iter(st, jax.random.key(1))
+    assert np.isfinite(float(np.asarray(m["critic_loss"])))

@@ -36,11 +36,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def expand_first_layer(tree, old_d: int, new_d: int, has_action: bool):
     """Zero-pad a flax MLP tree's first Dense kernel from old_d to new_d obs
     columns.  Actor input is [obs]; critic input is [obs | action], so its
-    action rows move from old_d: to new_d: with zeros in between."""
+    action rows move from old_d: to new_d: with zeros in between.
+
+    Raises if NO first-layer kernel matched old_d (a wrong --from-obs-dim, or
+    re-migrating an already-expanded learner, would otherwise silently no-op
+    and still print the success message — ADVICE r3)."""
     import jax
     import jax.numpy as jnp
 
     grow = new_d - old_d
+    n_expanded = [0]
 
     def fix(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
@@ -50,15 +55,23 @@ def expand_first_layer(tree, old_d: int, new_d: int, has_action: bool):
         if leaf.ndim != 2 or leaf.shape[0] not in (old_d, old_d + 2):
             return leaf
         if leaf.shape[0] == old_d and not has_action:
+            n_expanded[0] += 1
             return jnp.concatenate(
                 [leaf, jnp.zeros((grow, leaf.shape[1]), leaf.dtype)])
         if leaf.shape[0] == old_d + 2 and has_action:
+            n_expanded[0] += 1
             return jnp.concatenate(
                 [leaf[:old_d], jnp.zeros((grow, leaf.shape[1]), leaf.dtype),
                  leaf[old_d:]])
         return leaf
 
-    return jax.tree_util.tree_map_with_path(fix, tree)
+    out = jax.tree_util.tree_map_with_path(fix, tree)
+    if n_expanded[0] == 0:
+        raise SystemExit(
+            f"expand_first_layer: no first-layer kernel has {old_d} "
+            f"(or {old_d + 2}) input rows — wrong --from-obs-dim, or the "
+            "learner was already migrated")
+    return out
 
 
 def main():
@@ -66,7 +79,7 @@ def main():
     ap.add_argument("--npz", required=True)
     ap.add_argument("--env", default="KeplerCircleOrbit-v0")
     ap.add_argument("--out", required=True, help="orbax checkpoint dir to write")
-    ap.add_argument("--obs-features", default=None, choices=["kepler"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
                     help="target engine obs featurization (must match the "
                          "training run's --obs-features)")
     ap.add_argument("--from-obs-dim", type=int, default=None,
@@ -108,7 +121,25 @@ def main():
 
     z = np.load(args.npz)
     fused = FusedState(**{f: jnp.asarray(z[f]) for f in FusedState._fields})
-    old_d = args.from_obs_dim or tr.obs_dim
+    # Newer npzs record their training obs_dim/obs_features (train.py
+    # save_learner_npz); trust them over the CLI so a wrong/omitted
+    # --from-obs-dim can't silently mis-slice the packed learner (ADVICE r3).
+    if "obs_dim" in z.files:
+        npz_d = int(z["obs_dim"])
+        if args.from_obs_dim is not None and args.from_obs_dim != npz_d:
+            raise SystemExit(
+                f"--from-obs-dim {args.from_obs_dim} contradicts the npz's "
+                f"recorded obs_dim {npz_d}")
+        old_d = npz_d
+    else:
+        old_d = args.from_obs_dim or tr.obs_dim
+    if "obs_features" in z.files:
+        npz_feats = str(z["obs_features"]) or None
+        if npz_feats != args.obs_features and old_d == tr.obs_dim:
+            raise SystemExit(
+                f"npz was trained with obs_features={npz_feats!r} but the "
+                f"target engine uses {args.obs_features!r} (same obs_dim — "
+                "the learner would read the wrong columns)")
 
     if old_d != tr.obs_dim:
         # Migrate through the flax bridges: unpack at the OLD obs_dim,

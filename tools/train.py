@@ -103,13 +103,15 @@ def main():
                          "amortizes per-dispatch tunnel latency")
     ap.add_argument("--physics", default=None,
                     help="engine physics mode; default: pallas on TPU, fixed elsewhere")
-    ap.add_argument("--obs-features", default=None, choices=["kepler"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
                     help="append analytic obs features at the engine boundary "
-                         "(Kepler: orbit-error terms through multi-scale tanh; "
-                         "see kepler_math.error_features).  Changes obs_dim, "
-                         "so checkpoints are format-compatible only with runs "
-                         "using the same flag (tools/restore_learner.py "
-                         "--expand-obs migrates old learners).")
+                         "(kepler: orbit-error terms, see "
+                         "kepler_math.error_features; goal: goal/danger/border "
+                         "geometry, see goal_math.goal_features).  Changes "
+                         "obs_dim, so checkpoints are format-compatible only "
+                         "with runs using the same flag "
+                         "(tools/restore_learner.py --obs-features "
+                         "--from-obs-dim migrates old learners).")
     args = ap.parse_args()
     if args.fused is None:
         # TD3's fused kernel is the measured-on-TPU default (round 3);
@@ -238,6 +240,12 @@ def main():
         if hasattr(st, "log_alpha"):
             arrs["log_alpha"] = np.asarray(st.log_alpha)
         arrs["step"] = np.asarray(st.step)
+        # Provenance for consumers (restore_learner.py / run_agent.py):
+        # a wrong --from-obs-dim / --obs-features would otherwise silently
+        # mis-slice the packed learner instead of erroring (ADVICE r3).
+        arrs["obs_dim"] = np.asarray(eng.obs_dim)
+        arrs["obs_features"] = np.asarray(args.obs_features or "")
+        arrs["env_id"] = np.asarray(args.env)
         arrs.update({k: np.asarray(v) for k, v in extra.items()})
         np.savez(path + ".tmp", **arrs)
         os.replace(path + ".tmp.npz", path)
