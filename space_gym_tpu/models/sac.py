@@ -106,6 +106,20 @@ class SACTrainer:
             raise ValueError(
                 f"fused_updates requires action_dim == 2 (got {self.action_dim}); "
                 "use the unfused path for other action dims")
+        # Width-parameterized kernel namespace (build(256) = flagship).
+        # Bound whenever the net shape fits the packed layout — the
+        # checkpoint bridges (migrate/rehydrate) need it even on unfused
+        # trainers resuming fused-format checkpoints.
+        h = config.hidden
+        self._fs = None
+        if (self.action_dim == 2 and len(h) == 2 and h[0] == h[1]
+                and h[0] % 128 == 0):
+            from . import fused_sac
+            self._fs = fused_sac.build(h[0])
+        if config.fused_updates and self._fs is None:
+            raise ValueError(
+                f"fused_updates requires hidden=(h, h) with h a multiple "
+                f"of 128, got {h}")
         self.actor = networks.TanhGaussianActor(self.action_dim, config.hidden)
         self.critic = networks.DoubleCritic(config.hidden)
         self.target_entropy = (
@@ -132,7 +146,7 @@ class SACTrainer:
         env_state, obs = self.engine._reset_batched(k_env, c.lanes)
         fused = None
         if c.fused_updates:
-            from . import fused_sac as fs
+            fs = self._fs
 
             packed = fs.pack_params(
                 actor_params, critic_params, critic_params, log_alpha)
@@ -252,7 +266,7 @@ class SACTrainer:
         """All K updates through models/fused_sac: one kernel launch on TPU
         operating directly on the cached kernel-layout state (state.fused) —
         no per-iter pack/unpack; the packed pure-jax reference elsewhere."""
-        from . import fused_sac as fs
+        fs = self._fs
 
         c = self.cfg
         k_samp, k_noise = jax.random.split(key)
@@ -369,7 +383,10 @@ class SACTrainer:
         snapshot of a pre-FusedState (or unfused-run) checkpoint.  The optax
         states carry the Adam moments; target-critic moment slots are unused
         (targets update by polyak, not Adam)."""
-        from . import fused_sac as fs
+        if self._fs is None:
+            raise ValueError(
+                "fused-format bridge requires hidden=(h, h), h % 128 == 0")
+        fs = self._fs
 
         zeros_t = jax.tree.map(jnp.zeros_like, state.target_critic_params)
         packed = fs.pack_params(
@@ -389,7 +406,10 @@ class SACTrainer:
         fused-mode checkpoint so an unfused run resumes the same training
         trajectory (in fused mode the flax critic/opt fields freeze at their
         init snapshot — resuming from them would silently reset the critics)."""
-        from . import fused_sac as fs
+        if self._fs is None:
+            raise ValueError(
+                "fused-format bridge requires hidden=(h, h), h % 128 == 0")
+        fs = self._fs
 
         packed, adam = fs.fused_unpack(state.fused)
         actor, critic, target, log_alpha = fs.unpack_params(

@@ -76,6 +76,19 @@ class TD3Trainer:
             raise ValueError(
                 f"fused_updates requires action_dim == 2 (got {self.action_dim}); "
                 "use the unfused path for other action dims")
+        # Width-parameterized kernel namespace (see SACTrainer); bound
+        # whenever the net shape fits the packed layout so the checkpoint
+        # bridges work on unfused trainers too.
+        h = config.hidden
+        self._ft = None
+        if (self.action_dim == 2 and len(h) == 2 and h[0] == h[1]
+                and h[0] % 128 == 0):
+            from . import fused_td3
+            self._ft = fused_td3.build(h[0])
+        if config.fused_updates and self._ft is None:
+            raise ValueError(
+                f"fused_updates requires hidden=(h, h) with h a multiple "
+                f"of 128, got {h}")
         self.actor = networks.DeterministicActor(self.action_dim, config.hidden)
         self.critic = networks.DoubleCritic(config.hidden)
         self.opt = optax.adam(config.lr)
@@ -96,8 +109,7 @@ class TD3Trainer:
         env_state, obs = self.engine._reset_batched(k_env, c.lanes)
         fused = None
         if c.fused_updates:
-            from . import fused_td3 as ft
-
+            ft = self._ft
             packed = ft.pack_params(actor_params, actor_params,
                                     critic_params, critic_params)
             fused = ft.fused_init(packed, ft.adam_init(packed))
@@ -211,7 +223,10 @@ class TD3Trainer:
         operating on the cached kernel-layout state; packed-jax reference
         elsewhere).  Sampling law: whole replay rows (in-kernel via scalar
         prefetch when shapes allow, like the SAC path)."""
-        from . import fused_td3 as ft
+        if self._ft is None:
+            raise ValueError(
+                "fused-format bridge requires hidden=(h, h), h % 128 == 0")
+        ft = self._ft
         from .replay import replay_sample_rows, unpack_flat  # noqa: F401
 
         c = self.cfg
@@ -274,7 +289,10 @@ class TD3Trainer:
         or pre-FusedState) checkpoint.  Mirrors SACTrainer.migrate_to_fused;
         TD3 keeps separate Adam counts for the critic (every update) and the
         delayed actor."""
-        from . import fused_td3 as ft
+        if self._ft is None:
+            raise ValueError(
+                "fused-format bridge requires hidden=(h, h), h % 128 == 0")
+        ft = self._ft
 
         zeros_a = jax.tree.map(jnp.zeros_like, state.target_actor_params)
         zeros_c = jax.tree.map(jnp.zeros_like, state.target_critic_params)
@@ -298,7 +316,10 @@ class TD3Trainer:
         """Inverse bridge: refresh flax params and optax moments from a
         fused-mode checkpoint so an unfused resume continues the same
         training trajectory (see SACTrainer.rehydrate_from_fused)."""
-        from . import fused_td3 as ft
+        if self._ft is None:
+            raise ValueError(
+                "fused-format bridge requires hidden=(h, h), h % 128 == 0")
+        ft = self._ft
 
         packed, adam = ft.fused_unpack(state.fused)
         actor, tactor, critic, target = ft.unpack_params(

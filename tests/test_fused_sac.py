@@ -331,3 +331,55 @@ def test_from_replay_matches_reference_interpret():
             np.asarray(getattr(p_k, f)), np.asarray(getattr(p_ref, f)),
             rtol=2e-4, atol=2e-5, err_msg=f"param {f}")
     assert int(ad_k.count) == int(ad_ref.count) == K
+
+
+def test_width512_kernel_matches_reference_interpret():
+    """build(512): the width-parameterized kernel namespace (VERDICT r3
+    item 4) reproduces the autodiff reference at H=512 exactly like the
+    flagship H=256 layout does."""
+    fs512 = fs.build(512)
+    assert fs512.WROWS == 3208 and fs.build(256).WROWS == fs.WROWS
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = SACTrainer(eng, SACConfig(
+        lanes=8, rollout_len=4, replay_rows=8, batch_size=32,
+        updates_per_iter=1, warmup_rows=2, hidden=(512, 512),
+        fused_updates=True, fused_block=32))
+    st = tr.init(jax.random.key(0))
+    assert st.fused.w.shape == (3208, 512)
+
+    obs_dim = tr.obs_dim
+    K, B = 1, 32
+    kb, kn = jax.random.split(jax.random.key(9))
+    batches = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[rand_batch(jax.random.fold_in(kb, k), B, obs_dim) for k in range(K)],
+    )
+    noises = jax.random.normal(kn, (K, B, 2, 2), jnp.float32)
+    packed = fs512.pack_params(st.actor_params, st.critic_params,
+                               st.target_critic_params, st.log_alpha)
+    adam = fs.adam_init(packed)
+    args = (obs_dim, tr.cfg.gamma, tr.cfg.tau, tr.cfg.lr, tr.target_entropy)
+    p_ref, ad_ref, cl_ref, al_ref = fs512.update_k_reference(
+        packed, adam, batches, noises, *args)
+    p_k, ad_k, cl_k, al_k = fs512.fused_update_k(
+        packed, adam, batches, noises, *args, block=32, interpret=True,
+        mm_bf16=False)
+    np.testing.assert_allclose(np.asarray(cl_k), np.asarray(cl_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_k), np.asarray(al_ref),
+                               rtol=1e-3, atol=1e-5)
+    for f in fs.PackedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p_k, f)), np.asarray(getattr(p_ref, f)),
+            rtol=2e-4, atol=2e-5, err_msg=f"param {f}")
+    assert int(ad_k.count) == K
+
+
+def test_width_must_be_lane_multiple():
+    with pytest.raises(ValueError):
+        fs.build(192)
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    with pytest.raises(ValueError):
+        SACTrainer(eng, SACConfig(hidden=(192, 192), fused_updates=True))
+    with pytest.raises(ValueError):
+        SACTrainer(eng, SACConfig(hidden=(256, 512), fused_updates=True))

@@ -322,3 +322,42 @@ def test_kernel_sequential_calls_odd_count_interpret():
         np.testing.assert_allclose(
             np.asarray(getattr(packed_k, f)), np.asarray(getattr(packed_r, f)),
             rtol=3e-4, atol=3e-5, err_msg=f"param {f}")
+
+
+def test_width512_kernel_matches_reference_interpret():
+    """build(512) TD3 twin of the SAC width test (VERDICT r3 item 4)."""
+    ft512 = ft.build(512)
+    assert ft512.WROWS == 3848 and ft.build(256).WROWS == ft.WROWS
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"))
+    tr = TD3Trainer(eng, TD3Config(
+        lanes=8, rollout_len=4, replay_rows=8, batch_size=32,
+        updates_per_iter=2, warmup_rows=2, hidden=(512, 512),
+        fused_updates=True, fused_block=32))
+    st = tr.init(jax.random.key(0))
+    assert st.fused.w.shape == (3848, 512)
+
+    obs_dim = tr.obs_dim
+    K, B = 2, 32
+    kb, kn = jax.random.split(jax.random.key(9))
+    batches = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[rand_batch(jax.random.fold_in(kb, k), B, obs_dim) for k in range(K)],
+    )
+    noises = jax.random.normal(kn, (K, B, 2), jnp.float32)
+    packed = ft512.pack_params(st.actor_params, st.target_actor_params,
+                               st.critic_params, st.target_critic_params)
+    adam = ft.adam_init(packed)
+    c = tr.cfg
+    args = (obs_dim, c.gamma, c.tau, c.lr, c.smooth_std,
+            c.smooth_clip, c.policy_delay)
+    p_ref, ad_ref, cl_ref, al_ref = ft512.update_k_reference(
+        packed, adam, batches, noises, *args)
+    p_k, ad_k, cl_k, al_k = ft512.fused_update_k(
+        packed, adam, batches, noises, *args, block=32, interpret=True,
+        mm_bf16=False)
+    np.testing.assert_allclose(np.asarray(cl_k), np.asarray(cl_ref),
+                               rtol=1e-4, atol=1e-5)
+    for f in ft.PackedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p_k, f)), np.asarray(getattr(p_ref, f)),
+            rtol=2e-4, atol=2e-5, err_msg=f"param {f}")

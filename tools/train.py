@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--updates-per-iter", type=int, default=4)
     ap.add_argument("--replay-rows", type=int, default=2048)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--hidden", type=int, default=256,
+                    help="MLP hidden width (two layers).  The fused SAC/TD3 "
+                         "kernels support any multiple of 128 "
+                         "(models/fused_sac.build)")
     ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--n-step", type=int, default=1,
                     help="SAC: n-step TD targets computed inside the rollout slab")
@@ -144,6 +148,7 @@ def main():
         batch_size=args.batch_size,
         updates_per_iter=args.updates_per_iter,
         lr=args.lr,
+        hidden=(args.hidden, args.hidden),
     )
     if args.algo == "sac":
         trainer = SACTrainer(eng, SACConfig(
