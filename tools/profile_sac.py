@@ -43,7 +43,7 @@ def jax_first_leaf(tree):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="GoalContinuous2P-v0")
-    ap.add_argument("--algo", choices=["sac", "td3"], default="sac")
+    ap.add_argument("--algo", choices=["sac", "td3", "dqn"], default="sac")
     ap.add_argument("--lanes", type=int, default=2048)
     ap.add_argument("--rollout-len", type=int, default=8)
     ap.add_argument("--updates-per-iter", type=int, default=32)
@@ -64,22 +64,32 @@ def main():
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
     from space_gym_tpu.models import (
-        SACConfig, SACTrainer, TD3Config, TD3Trainer,
+        DQNConfig, DQNTrainer, SACConfig, SACTrainer, TD3Config, TD3Trainer,
     )
     from space_gym_tpu.models.replay import replay_sample
 
     physics = args.physics or ("pallas" if jax.default_backend() == "tpu" else "fixed")
     eng = EnvEngine(space_gym_tpu.get_config(args.env), physics=physics)
-    mk_cfg, mk_tr = ((SACConfig, SACTrainer) if args.algo == "sac"
-                     else (TD3Config, TD3Trainer))
-    cfg = mk_cfg(
-        lanes=args.lanes,
-        rollout_len=args.rollout_len,
-        updates_per_iter=args.updates_per_iter,
-        batch_size=args.batch_size,
-        fused_updates=args.fused,
-        fused_block=args.fused_block,
-    )
+    if args.algo == "dqn":
+        if args.fused:
+            raise SystemExit("DQN has no fused kernel (see VERDICT r3 item 7 "
+                             "ladder: measure first)")
+        cfg = DQNConfig(
+            lanes=args.lanes, rollout_len=args.rollout_len,
+            updates_per_iter=args.updates_per_iter,
+            batch_size=args.batch_size)
+        mk_tr = DQNTrainer
+    else:
+        mk_cfg, mk_tr = ((SACConfig, SACTrainer) if args.algo == "sac"
+                         else (TD3Config, TD3Trainer))
+        cfg = mk_cfg(
+            lanes=args.lanes,
+            rollout_len=args.rollout_len,
+            updates_per_iter=args.updates_per_iter,
+            batch_size=args.batch_size,
+            fused_updates=args.fused,
+            fused_block=args.fused_block,
+        )
     tr = mk_tr(eng, cfg)
     state = tr.init(jax.random.key(0))
     key = jax.random.key(1)
@@ -121,19 +131,24 @@ def main():
         updk = jax.jit(updates_only)
         t_updk = timeit(updk, state, key)
         print(f"{cfg.updates_per_iter:3d} updates          : {t_updk*1e3:8.2f} ms")
+        if hasattr(tr, "train_iters"):
+            t_scan = timeit(lambda s, k: tr.train_iters(s, k, n=10), state, key) / 10
+            print(f"train_iters scan(10) : {t_scan*1e3:8.2f} ms/iter  "
+                  f"({steps_per_iter/t_scan/1e6:6.2f}M env-steps/s)")
 
     samp = jax.jit(lambda s, k: replay_sample(s.replay, k, cfg.batch_size))
     t_samp = timeit(samp, state, key)
     print(f"replay sample        : {t_samp*1e3:8.2f} ms")
 
-    polyak = jax.jit(
-        lambda s: jax.tree.map(
-            lambda t, p: t * (1 - cfg.tau) + p * cfg.tau,
-            s.target_critic_params, s.critic_params,
+    if hasattr(state, "critic_params"):
+        polyak = jax.jit(
+            lambda s: jax.tree.map(
+                lambda t, p: t * (1 - cfg.tau) + p * cfg.tau,
+                s.target_critic_params, s.critic_params,
+            )
         )
-    )
-    t_pol = timeit(polyak, state)
-    print(f"polyak               : {t_pol*1e3:8.2f} ms")
+        t_pol = timeit(polyak, state)
+        print(f"polyak               : {t_pol*1e3:8.2f} ms")
 
     print(f"\nrollout+updates sum  : {(t_roll + t_updk)*1e3:8.2f} ms "
           f"(vs full {t_full*1e3:.2f} ms)")
