@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Ground the bench.py roofline fields in a compiler measurement
+(VERDICT r3 weak item 1: pct_vpu_roofline rested on a hand count).
+
+Compiles the exact program bench.py times (fused full-step kernel inside the
+rollout scan) and dumps XLA's `compiled.cost_analysis()` — flops,
+transcendentals, bytes accessed — plus per-step normalizations to compare
+against bench.py's `est_vpu_ops_per_step` / `hbm_bytes_per_step` hand
+counts.  Optionally captures a jax.profiler trace (--trace DIR).
+
+Note: cost_analysis covers the XLA ops around the kernel; Mosaic kernels
+appear as an opaque custom call with a flops estimate where available, so
+the interesting decomposition comes from --ablate runs (SGT_FUSED_ABLATE in
+ops/pallas_full.py has no hooks — use --steps/--batch sweeps + the trace).
+
+Usage (TPU): python tools/roofline.py [--batch 32768 --steps 256]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="GoalContinuous2P-v0")
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.steps = 512, 32
+
+    import jax
+
+    from space_gym_tpu.utils.jaxplat import pin_cpu_if_requested
+
+    pin_cpu_if_requested()
+    import numpy as np
+
+    import space_gym_tpu
+    from space_gym_tpu.engine import EnvEngine
+
+    backend = jax.default_backend()
+    eng = EnvEngine(
+        space_gym_tpu.get_config(args.env),
+        physics="pallas" if backend == "tpu" else "fixed",
+        substeps=args.substeps,
+    )
+    pol = eng.random_policy()
+
+    def run(state, obs, key):
+        state, obs, traj = eng.rollout(state, obs, key, pol, args.steps)
+        return state, obs, traj.reward.sum()
+
+    state, obs = eng.init(jax.random.key(0), args.batch)
+    lowered = jax.jit(run).lower(state, obs, jax.random.key(1))
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per device program
+        ca = ca[0]
+    lane_steps = args.batch * args.steps
+
+    interesting = {
+        k: v for k, v in sorted(ca.items())
+        if k in ("flops", "transcendentals", "bytes accessed",
+                 "bytes accessedout{}", "optimal_seconds")
+        and isinstance(v, (int, float))
+    }
+    per_step = {
+        f"{k}_per_lane_step": round(v / lane_steps, 2)
+        for k, v in interesting.items()
+        if k in ("flops", "transcendentals", "bytes accessed")
+    }
+    print(json.dumps({
+        "backend": backend,
+        "batch": args.batch,
+        "steps": args.steps,
+        "cost_analysis": {k: round(v, 1) for k, v in interesting.items()},
+        **per_step,
+    }), flush=True)
+
+    # measured wall + derived actual rates for the same program
+    out = compiled(state, obs, jax.random.key(1))
+    np.asarray(out[2])
+    t0 = time.perf_counter()
+    out = compiled(state, obs, jax.random.key(2))
+    np.asarray(out[2])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "wall_s": round(dt, 4),
+        "steps_per_s": round(lane_steps / dt, 0),
+        "derived_flops_per_s": round(interesting.get("flops", 0) / dt, 0),
+        "derived_bytes_per_s": round(
+            interesting.get("bytes accessed", 0) / dt, 0),
+    }), flush=True)
+
+    if args.trace:
+        from space_gym_tpu.utils import profiling
+
+        with profiling.trace(args.trace):
+            out = compiled(state, obs, jax.random.key(3))
+            np.asarray(out[2])
+        print(json.dumps({"trace_dir": args.trace}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
