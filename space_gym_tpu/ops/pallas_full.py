@@ -234,13 +234,11 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
         # entry scores (n_tiles * DUP rows); invalid entries masked ABOVE any
         # valid score so argmax passes skip them.
         entry_scores = []
-        entry_tile = []
         for i in range(n_tiles):
             for j in range(DUP):
                 sc = u.take()
                 valid = free2[i] > j
                 entry_scores.append(jnp.where(valid, sc, -1.0))
-                entry_tile.append(i)
         # 3 sequential masked argmax passes -> candidate entries.
         banned = [s < -2.0 for s in entry_scores]  # all-False
         cand_tiles = []
@@ -257,10 +255,9 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
                     best_v = jnp.where(better, scm, best_v)
                     best_e = jnp.where(better, e, best_e)
             banned = [banned[e] | (best_e == e) for e in range(len(entry_scores))]
-            # entry -> tile via select chain
-            t = jnp.zeros_like(best_e)
-            for e in range(len(entry_scores)):
-                t = jnp.where(best_e == e, entry_tile[e], t)
+            # entry -> tile: entries are built i-major (DUP per tile), so the
+            # mapping is arithmetic — no n_tiles*DUP-deep select chain.
+            t = best_e // DUP
             cand_tiles.append(t)
             cand_valid.append(best_v >= 0)
 
