@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--env", default="GoalContinuous2P-v0")
-    ap.add_argument("--algo", choices=["sac", "td3", "ppo"], default="sac")
+    ap.add_argument("--algo", choices=["sac", "td3", "ppo", "dqn"], default="sac")
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/spacegym_replays")
@@ -46,7 +46,8 @@ def main():
     import space_gym_tpu
     from space_gym_tpu.engine import EnvEngine
     from space_gym_tpu.models import (
-        PPOConfig, PPOTrainer, SACConfig, SACTrainer, TD3Config, TD3Trainer,
+        DQNConfig, DQNTrainer, PPOConfig, PPOTrainer, SACConfig, SACTrainer,
+        TD3Config, TD3Trainer,
     )
     from space_gym_tpu.utils import checkpoint as ckpt
 
@@ -57,15 +58,41 @@ def main():
     if args.algo == "ppo":
         trainer = PPOTrainer(eng, PPOConfig(lanes=128, rollout_len=8,
                                             epochs=1, minibatches=2))
+    elif args.algo == "dqn":
+        trainer = DQNTrainer(eng, DQNConfig(**kw))
     else:
         trainer = (SACTrainer(eng, SACConfig(**kw)) if args.algo == "sac"
                    else TD3Trainer(eng, TD3Config(**kw)))
-    pfield = "params" if args.algo == "ppo" else "actor_params"
-    if args.ckpt.endswith(".npz"):
+    pfield = "params" if args.algo in ("ppo", "dqn") else "actor_params"
+    z = np.load(args.ckpt) if args.ckpt.endswith(".npz") else None
+    if z is not None and "w" not in z.files:
+        # Params-format npz ("p:<path>" keys, train.py save_learner_npz for
+        # params-based trainers): rebuild the flax tree on the template.
+        import jax.numpy as jnp
+
+        if not any(k.startswith("p:") for k in z.files):
+            raise SystemExit(f"{args.ckpt}: neither fused-kernel nor params npz")
+        if "obs_dim" in z.files and int(z["obs_dim"]) != eng.obs_dim:
+            raise SystemExit(
+                f"npz obs_dim {int(z['obs_dim'])} != engine {eng.obs_dim}; "
+                "pass the matching --obs-features")
+        template = trainer.init(jax.random.key(0))
+        tpl = getattr(template, pfield)
+        flat = jax.tree_util.tree_flatten_with_path(tpl)
+        try:
+            leaves = [jnp.asarray(z["p:" + jax.tree_util.keystr(kp)])
+                      for kp, _ in flat[0]]
+        except KeyError as e:
+            raise SystemExit(
+                f"{args.ckpt}: params don't match the --algo {args.algo} "
+                f"template (missing {e}); pass the algo the npz was trained "
+                "with") from None
+        params = jax.tree_util.tree_unflatten(flat[1], leaves)
+    elif z is not None:
         # Compact learner npz (train.py <ckpt>.best.npz sidecar or a docs/
         # backup): slice the actor straight out of the fused kernel layout.
-        if args.algo == "ppo":
-            raise SystemExit("npz learners are SAC/TD3 fused-kernel format")
+        if args.algo in ("ppo", "dqn"):
+            raise SystemExit("fused npz learners are SAC/TD3 format")
         import jax.numpy as jnp
 
         if args.algo == "sac":
@@ -73,7 +100,6 @@ def main():
         else:
             from space_gym_tpu.models.fused_td3 import unpack_actor
 
-        z = np.load(args.ckpt)
         # Newer npzs record their training obs_dim/obs_features; a mismatch
         # with the replay engine would silently mis-slice the packed actor
         # (first-layer rows read from the wrong offsets) — fail loud instead.
@@ -117,7 +143,8 @@ def main():
             if args.obs_features:
                 ob = np.asarray(eng._augment_obs(ob))
             a = np.asarray(trainer.eval_act(params, ob))[0]
-            obs, r, done, _ = env.step(a.astype(np.float32))
+            act = int(a) if args.algo == "dqn" else a.astype(np.float32)
+            obs, r, done, _ = env.step(act)
             total += r
             if args.display:
                 env.render()

@@ -446,3 +446,49 @@ def test_train_cli_obs_features_best_sidecar(tmp_path):
                "--episodes", "1", "--every", "1000000",
                "--out", str(tmp_path / "gifs")])
     assert "mean return:" in out
+
+
+def test_train_cli_dqn_params_npz_sidecar(tmp_path):
+    """Params-based trainers (DQN here) also get the compact best-eval npz
+    sidecar (flattened flax params, 'p:<path>' keys + provenance) and it
+    replays through examples/run_agent.py --algo dqn; a wrong --algo fails
+    loud instead of mis-building the tree."""
+    import subprocess, sys, os
+
+    import numpy as np
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    ck = str(tmp_path / "ck")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/sgt_jax_cache"}
+
+    def run(cmd, ok=True):
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                           cwd=repo, env=env)
+        if ok:
+            assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        return r.returncode, r.stdout + r.stderr
+
+    _, out = run([sys.executable, "tools/train.py", "--env", "GoalDiscrete3-v0",
+                  "--algo", "dqn", "--iters", "4", "--lanes", "16",
+                  "--rollout-len", "4", "--updates-per-iter", "1",
+                  "--batch-size", "32", "--replay-rows", "16",
+                  "--eval-every", "2", "--eval-steps", "20",
+                  "--scan-chunk", "2", "--log-every", "4", "--ckpt", ck])
+    best = ck + ".best.npz"
+    assert os.path.exists(best), out
+    z = np.load(best)
+    assert any(k.startswith("p:") for k in z.files)
+    assert {"step", "obs_dim", "env_id"} <= set(z.files)
+
+    _, out = run([sys.executable, "examples/run_agent.py", "--ckpt", best,
+                  "--env", "GoalDiscrete3-v0", "--algo", "dqn",
+                  "--episodes", "1", "--every", "1000000",
+                  "--out", str(tmp_path / "gifs")])
+    assert "mean return:" in out
+
+    rc, out = run([sys.executable, "examples/run_agent.py", "--ckpt", best,
+                   "--env", "GoalContinuous2P-v0", "--algo", "ppo",
+                   "--episodes", "1", "--out", str(tmp_path / "gifs")],
+                  ok=False)
+    assert rc != 0 and ("params don't match" in out or "obs_dim" in out)

@@ -235,13 +235,23 @@ def main():
         eval_params = lambda st: st.actor_params
 
     def save_learner_npz(path, st, **extra):
-        """Compact fused-learner snapshot (the format tools/restore_learner.py
-        rebuilds a resumable checkpoint from) — milliseconds vs ~30 s for the
-        full state with the 0.7 GB replay ring."""
+        """Compact learner snapshot — milliseconds vs ~30 s for the full
+        state with the 0.7 GB replay ring.  Fused trainers save the kernel
+        layout (the format tools/restore_learner.py rebuilds a resumable
+        checkpoint from); params-based trainers (DQN/PPO, unfused SAC/TD3)
+        save flattened flax params ("p:<path>" keys, replayable via
+        examples/run_agent.py)."""
         fused = getattr(st, "fused", None)
-        if fused is None:
-            return False
-        arrs = {f: np.asarray(getattr(fused, f)) for f in fused._fields}
+        if fused is not None:
+            arrs = {f: np.asarray(getattr(fused, f)) for f in fused._fields}
+        else:
+            params = getattr(st, "params", None) or getattr(
+                st, "actor_params", None)
+            if params is None:
+                return False
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            arrs = {"p:" + jax.tree_util.keystr(kp): np.asarray(leaf)
+                    for kp, leaf in flat}
         if hasattr(st, "log_alpha"):
             arrs["log_alpha"] = np.asarray(st.log_alpha)
         arrs["step"] = np.asarray(st.step)
