@@ -903,9 +903,14 @@ def _build_width(h: int):
             # scalar-prefetch operand + scal + data + noise)
             input_output_aliases={nargs + 3 + i: i for i in range(6)},
             # v5e has 128 MiB of VMEM; the compiler's default scoped limit is
-            # 16 MiB.  The resident params+moments (12.2 MiB) plus per-tile
-            # activations want more headroom at larger K/tiles.
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            # 16 MiB.  The resident params+moments (12.2 MiB at H=256) plus
+            # per-tile activations want more headroom at larger K/tiles —
+            # but do NOT hand the kernel everything: at H=512 a 100 MiB claim
+            # inside a lax.scan SILENTLY CORRUPTED the aliased buffers
+            # (deterministic garbage -> NaN; the enclosing loop's VMEM and
+            # the kernel's claim overlapped).  64 MiB is measured-safe and
+            # fits both widths' working sets (~25 MiB at 256, ~45 at 512).
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(*extra, scal, data, noise, f.w, f.vec, f.mw, f.vw, f.mvec, f.vvec)
 

@@ -772,7 +772,9 @@ def _build_width(h: int):
                 jax.ShapeDtypeStruct((K, 8, 128), f32),
             ],
             input_output_aliases={prefetch + 3 + i: i for i in range(6)},
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            # 64 MiB, not 100: a larger claim inside lax.scan silently corrupted
+            # the aliased buffers at H=512 (see fused_sac._kernel_call).
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(*extra, scal, data, noise, f.w, f.vec, f.mw, f.vw, f.mvec, f.vvec)
 

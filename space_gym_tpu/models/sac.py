@@ -318,9 +318,17 @@ class SACTrainer:
                     packed, adam, batches, noises, **args)
                 fstate = fs.fused_init(packed, adam)
 
+        # optimization_barrier: the actor slices must MATERIALIZE before the
+        # next chained kernel call (train_iters scan / multi-iter programs)
+        # overwrites `w` in place — the kernel's input_output_aliases is an
+        # unconditional in-place contract, and XLA does not reliably copy for
+        # the other readers (measured at H=512: lazy slices fused into the
+        # next rollout read kernel-(i+1)-trampled memory -> deterministic
+        # garbage -> NaN; H=256 happened to schedule safely).
+        actor_params = jax.lax.optimization_barrier(fs.unpack_actor(
+            fstate.w, fstate.vec, self.obs_dim, self.action_dim))
         state = state._replace(
-            actor_params=fs.unpack_actor(
-                fstate.w, fstate.vec, self.obs_dim, self.action_dim),
+            actor_params=actor_params,
             log_alpha=fstate.vec[fs.V_MISC, fs.M_LA],
             fused=fstate,
         )

@@ -383,3 +383,22 @@ def test_width_must_be_lane_multiple():
         SACTrainer(eng, SACConfig(hidden=(192, 192), fused_updates=True))
     with pytest.raises(ValueError):
         SACTrainer(eng, SACConfig(hidden=(256, 512), fused_updates=True))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic VMEM-oversubscription regression is TPU-only")
+def test_width512_scan_stays_finite_tpu():
+    """Regression: with vmem_limit_bytes=100MB the H=512 kernel inside
+    lax.scan silently corrupted its aliased buffers (deterministic garbage
+    -> NaN within 2 iterations; standalone dispatches were fine).  The
+    64MB limit keeps the chained path correct — this locks that in."""
+    eng = EnvEngine(space_gym_tpu.get_config("GoalContinuous2P-v0"),
+                    physics="pallas")
+    tr = SACTrainer(eng, SACConfig(
+        lanes=2048, rollout_len=8, replay_rows=2048, batch_size=8192,
+        updates_per_iter=32, hidden=(512, 512), warmup_rows=1,
+        fused_updates=True, fused_block=2048))
+    st = tr.init(jax.random.key(0))
+    st, m = tr.train_iters(st, jax.random.key(1), n=3)
+    assert bool(jnp.isfinite(st.fused.w).all())
+    assert np.isfinite(float(np.asarray(m["critic_loss"])))

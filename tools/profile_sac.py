@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="profile the fused-kernel learner path")
     ap.add_argument("--fused-block", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -89,6 +90,7 @@ def main():
             batch_size=args.batch_size,
             fused_updates=args.fused,
             fused_block=args.fused_block,
+            hidden=(args.hidden, args.hidden),
         )
     tr = mk_tr(eng, cfg)
     state = tr.init(jax.random.key(0))
