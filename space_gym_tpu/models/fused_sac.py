@@ -530,15 +530,25 @@ def _build_width(h: int):
                     vec_ref[V_MISC:V_MISC + 1, :NHEAD], (1, 0))
                 return head[:2], head[2:NHEAD], z1, h1, z2, h2
 
-            def critic_fwd(x, a1, r0, vb2, vw3, b3col):
-                # First-layer input is [obs | action | 1]: obs enters feature-
-                # major ((obs_dim, BT)) via its own matmul; a1 is (3, BT) f32
+            def pair_z1(x, a1, r0a, r0b):
+                # BOTH critics' first layers in ONE (od, 2H) + (3, 2H) matmul
+                # pair.  First-layer input is [obs | action | 1]: obs enters
+                # feature-major via its own matmul; a1 is (3, BT) f32
                 # [action(2) | ones] whose contraction against
                 # [W1_action | b1-row] applies the first-layer bias INSIDE the
-                # matmul accumulator — one (BT, H) VPU add and the separate bias
-                # grad-reduce both disappear (NEXT.md ones-row fold).
-                z1 = dg(x, w_ref[r0:r0 + obs_dim], 0, 0)
-                z1 = z1 + _dg(a1, w_ref[r0 + obs_dim:r0 + obs_dim + 3], 0, 0)
+                # matmul accumulator (NEXT.md ones-row fold).  The separate
+                # (BT, od~15)x(od, H) matmuls waste the MXU's contraction
+                # depth — pairing along the N axis halves the invocations
+                # (measured 3.3x on the standalone pattern, r4).
+                wx = jnp.concatenate(
+                    [w_ref[r0a:r0a + obs_dim], w_ref[r0b:r0b + obs_dim]], axis=1)
+                wa = jnp.concatenate(
+                    [w_ref[r0a + obs_dim:r0a + obs_dim + 3],
+                     w_ref[r0b + obs_dim:r0b + obs_dim + 3]], axis=1)
+                z1b = dg(x, wx, 0, 0) + _dg(a1, wa, 0, 0)        # (BT, 2H)
+                return z1b[:, :H], z1b[:, H:]
+
+            def critic_tail(z1, r0, vb2, vw3, b3col):
                 h1 = relu(z1)
                 z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
                 h2 = relu(z2)
@@ -572,14 +582,17 @@ def _build_width(h: int):
                 mean, lsr, *_ = actor_fwd(x_n)
                 na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
                 na1 = jnp.concatenate([na, ones], axis=0)
-                q1t, *_ = critic_fwd(x_n, na1, R_TW1[0], V_TB2[0], V_TW3[0], M_TB3[0])
-                q2t, *_ = critic_fwd(x_n, na1, R_TW1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
+                z1t = pair_z1(x_n, na1, R_TW1[0], R_TW1[1])
+                q1t, *_ = critic_tail(z1t[0], R_TW1[0], V_TB2[0], V_TW3[0], M_TB3[0])
+                q2t, *_ = critic_tail(z1t[1], R_TW1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
                 tq = r + gamma * d * (jnp.minimum(q1t, q2t) - alpha * nlogp)
 
                 loss = 0.0
+                z1p = pair_z1(x_o, a1_t, R_CW1[0], R_CW1[1])
+                dz1s = []
                 for c in (0, 1):
-                    q, z1, h1, z2, h2 = critic_fwd(
-                        x_o, a1_t, R_CW1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                    q, z1, h1, z2, h2 = critic_tail(
+                        z1p[c], R_CW1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
                     dq = 2.0 * (q - tq) * invb                      # (1, BT)
                     loss = loss + jnp.sum((q - tq) ** 2) * invb
                     gvec[V_CW3[c]:V_CW3[c] + 1, :] += dg(dq, h2, 1, 0)
@@ -590,12 +603,16 @@ def _build_width(h: int):
                     gw[R_CW1[c] + IN1:R_CW1[c] + IN1 + H, :] += dg(h1, dz2, 0, 0)
                     gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
                     dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
-                    dz1 = jnp.where(z1 > 0, dh1, 0.0)
-                    gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += dg(x_o, dz1, 1, 0)
-                    # [action | ones] rows: the ones row's grad IS the bias grad —
-                    # the old separate jnp.sum(dz1) reduce rides this matmul.
-                    gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 3, :] += _dg(
-                        a1_t, dz1, 1, 0)
+                    dz1s.append(jnp.where(z1 > 0, dh1, 0.0))
+                # paired weight-grad matmuls: both critics' dz1 against the
+                # SHARED x_o / [action | ones] inputs, split back to rows.
+                # (the ones row's grad IS the bias grad — rides this matmul.)
+                dz1b = jnp.concatenate(dz1s, axis=1)                # (BT, 2H)
+                gx = dg(x_o, dz1b, 1, 0)                            # (od, 2H)
+                ga = _dg(a1_t, dz1b, 1, 0)                          # (3, 2H)
+                for c in (0, 1):
+                    gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += gx[:, c * H:(c + 1) * H]
+                    gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 3, :] += ga[:, c * H:(c + 1) * H]
                 acc[0] += loss
 
                 @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
@@ -648,9 +665,10 @@ def _build_width(h: int):
                 a1 = jnp.concatenate([a, ones], axis=0)        # (3, BT)
 
                 qs, caches = [], []
+                z1p = pair_z1(x_o, a1, R_CW1[0], R_CW1[1])
                 for c in (0, 1):
-                    q, z1, h1, z2, h2 = critic_fwd(
-                        x_o, a1, R_CW1[c], V_CB2[c], V_CW3[c],
+                    q, z1, h1, z2, h2 = critic_tail(
+                        z1p[c], R_CW1[c], V_CB2[c], V_CW3[c],
                         M_CB3[0] + c)
                     qs.append(q)
                     caches.append((z1, h1, z2, h2))
