@@ -259,7 +259,10 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32768)
+    # 262144: the single-chip saturation knee — the batch-scaling curve
+    # (tools/bench_batch_curve.py, r4) keeps climbing past the old 32768
+    # default (74M) to ~105M at 262K lanes and flattens (~107M at 1M).
+    ap.add_argument("--batch", type=int, default=262144)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
