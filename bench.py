@@ -200,7 +200,42 @@ def roofline(eng, steps_per_s: float):
     return out
 
 
-def run_bench(args) -> dict:
+def measure(batch: int, args, backend: str) -> dict:
+    """Build + warm up + time one batch config; returns measurement fields."""
+    import jax
+    import numpy as np
+
+    eng, run = build(batch, args.steps, args.substeps, backend)
+    state, _ = eng.init(jax.random.key(0), batch)
+
+    # Warm-up: compile + one full run.  NOTE: device->host fetch (np.asarray)
+    # is the sync point — on the axon tunnel block_until_ready returns before
+    # the computation finishes, which would inflate throughput ~1000x.
+    t0 = time.perf_counter()
+    state, rew, dones = run(state, jax.random.key(1))
+    np.asarray(rew)
+    warmup_s = time.perf_counter() - t0
+
+    vals = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state, rew, dones = run(state, jax.random.key(2 + r))
+        np.asarray(rew)
+        dt = time.perf_counter() - t0
+        vals.append(batch * args.steps / dt)
+
+    return {
+        "value": round(max(vals), 1),
+        "value_mean": round(float(np.mean(vals)), 1),
+        "value_std": round(float(np.std(vals)), 1),
+        "repeat_values": [round(v, 1) for v in vals],
+        "batch": batch,
+        "warmup_s": round(warmup_s, 1),
+        "_eng": eng,
+    }
+
+
+def run_bench(args, deadline: float, partial: dict) -> dict:
     # --smoke is the CPU run; an explicit JAX_PLATFORMS=cpu also forces CPU.
     # NOTE the ambient environment sets JAX_PLATFORMS=axon (the TPU tunnel
     # platform) — that is the NORMAL TPU path, not a CPU override; honoring it
@@ -215,8 +250,6 @@ def run_bench(args) -> dict:
             wait_s=args.probe_wait,
         )
 
-    import jax
-
     if want_cpu:
         # The axon sitecustomize force-registers the TPU platform; the
         # config update after import is the only override that sticks.
@@ -224,33 +257,39 @@ def run_bench(args) -> dict:
 
         pin_cpu_if_requested(force=True)
 
-    eng, run = build(args.batch, args.steps, args.substeps, backend)
-    state, _ = eng.init(jax.random.key(0), args.batch)
-
-    import numpy as np
-
-    # Warm-up: compile + one full run.  NOTE: device->host fetch (np.asarray)
-    # is the sync point — on the axon tunnel block_until_ready returns before
-    # the computation finishes, which would inflate throughput ~1000x.
-    state, rew, dones = run(state, jax.random.key(1))
-    np.asarray(rew)
-
-    best = 0.0
-    for r in range(args.repeats):
-        t0 = time.perf_counter()
-        state, rew, dones = run(state, jax.random.key(2 + r))
-        np.asarray(rew)
-        dt = time.perf_counter() - t0
-        best = max(best, args.batch * args.steps / dt)
-
-    payload = {
-        "metric": METRIC,
-        "value": round(best, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(best / BASELINE_STEPS_PER_S, 2),
-    }
-    payload.update(roofline(eng, best))
-    return payload
+    # Staged capture (VERDICT r4 item 1): the capture-safe batch runs FIRST so
+    # a driver-verified number exists within minutes even from a cold compile
+    # cache; the saturation-knee batch (~+30%) runs only if the remaining
+    # wall-clock budget clearly covers another compile.  An explicit --batch
+    # pins a single stage.  `partial` is mutated as stages finish so the
+    # watchdog handler can still print the best COMPLETED measurement.
+    stages = [args.batch] if args.batch else [32768, 262144]
+    best = None
+    for i, batch in enumerate(stages):
+        if best is not None:
+            remaining = deadline - time.monotonic()
+            # Cold-cache Pallas compiles take ~4-5 min through the tunnel;
+            # the previous stage's warmup time is the live cold/warm signal.
+            need = 90.0 if best["warmup_s"] < 45.0 else 420.0
+            if remaining < need:
+                partial["note"] = (
+                    f"skipped batch={batch}: {remaining:.0f}s left < {need:.0f}s"
+                )
+                break
+        m = measure(batch, args, backend)
+        if best is None or m["value"] > best["value"]:
+            best = m
+        payload = {
+            "metric": METRIC,
+            "value": best["value"],
+            "unit": "steps/s",
+            "vs_baseline": round(best["value"] / BASELINE_STEPS_PER_S, 2),
+        }
+        payload.update({k: v for k, v in best.items() if not k.startswith("_")})
+        payload.update(roofline(best["_eng"], best["value"]))
+        partial.clear()
+        partial.update(payload)
+    return dict(partial)
 
 
 def main():
@@ -259,40 +298,64 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sgt_jax_cache")
 
     ap = argparse.ArgumentParser()
-    # 262144: the single-chip saturation knee — the batch-scaling curve
-    # (tools/bench_batch_curve.py, r4) keeps climbing past the old 32768
-    # default (74M) to ~105M at 262K lanes and flattens (~107M at 1M).
-    ap.add_argument("--batch", type=int, default=262144)
+    # Staged default (VERDICT r4 item 1): no --batch runs 32768 first (capture
+    # safe: driver-verified within minutes even cold), then 262144 (the
+    # saturation knee from tools/bench_batch_curve.py, ~105M vs 74M) only if
+    # the budget clearly covers a second compile; reports the best completed.
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pin a single batch size (default: staged 32768 then "
+                         "262144 within the budget)")
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")
-    ap.add_argument("--probe-tries", type=int, default=4)
-    ap.add_argument("--probe-timeout", type=float, default=300.0,
-                    help="per-probe subprocess timeout (fresh Pallas compiles "
-                         "through the tunnel take ~4-5 min)")
-    ap.add_argument("--probe-wait", type=float, default=45.0,
+    ap.add_argument("--probe-tries", type=int, default=3)
+    ap.add_argument("--probe-timeout", type=float, default=120.0,
+                    help="per-probe subprocess timeout (the probe only touches "
+                         "jax.devices(); compiles happen later under the budget)")
+    ap.add_argument("--probe-wait", type=float, default=30.0,
                     help="base backoff between probes (i-th retry waits i*this)")
-    ap.add_argument("--budget", type=float, default=2700.0,
+    ap.add_argument("--budget", type=float, default=1500.0,
                     help="total wall-clock watchdog (s); on expiry the bench "
-                         "still prints a parseable JSON error line")
+                         "prints the best COMPLETED stage, or a JSON error "
+                         "line if nothing finished")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.steps, args.repeats = 512, 64, 1
 
+    deadline = time.monotonic() + args.budget
+    partial: dict = {}
+
+    # External-timeout defense: drivers wrap the bench in `timeout`, which
+    # SIGTERMs on expiry.  If a stage already completed, print it and exit 0
+    # so the capture still parses a real number instead of rc 124 + nothing.
+    def _term_handler(signum, frame):
+        if partial.get("value"):
+            payload = dict(partial)
+            payload["note"] = "SIGTERM after a completed stage"
+            print(json.dumps(payload), flush=True)
+            os._exit(0)
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _term_handler)
     if hasattr(signal, "SIGALRM"):
         signal.signal(signal.SIGALRM, _alarm_handler)
         signal.alarm(int(args.budget))
     try:
-        payload = run_bench(args)
+        payload = run_bench(args, deadline, partial)
     except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
-        payload = {
-            "metric": METRIC,
-            "value": 0.0,
-            "unit": "steps/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:600],
-        }
+        if partial.get("value"):
+            # A stage completed before the watchdog/failure: report it.
+            payload = dict(partial)
+            payload["note"] = f"{type(e).__name__} after a completed stage"
+        else:
+            payload = {
+                "metric": METRIC,
+                "value": 0.0,
+                "unit": "steps/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:600],
+            }
     finally:
         if hasattr(signal, "SIGALRM"):
             signal.alarm(0)
