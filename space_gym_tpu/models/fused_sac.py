@@ -25,6 +25,7 @@ validate the hand-written backward; `fused_update_k` is the kernel.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -421,30 +422,337 @@ def _build_width(h: int):
         )
 
 
-    def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
-                     mm_bf16: bool = True):
-        """Kernel body for grid (K, 2, T).  Phase 0: critic grads + Adam +
-        polyak; phase 1: actor grads + Adam + temperature.
+    def _make_bodies(obs_dim: int, alpha_floor: float, mm_bf16: bool = True):
+        """Phase math shared by BOTH kernel schedules: the legacy (K, 2, T)
+        grid (`_make_kernel`) and the folded (K,) grid (`_make_kernel_fold`,
+        VERDICT r4 item 3).  Every function takes an explicit refs namespace
+        `r` — aliased params (w/vec/mw/vw/mvec/vvec), accumulators (gw/gvec/
+        acc) and the losses output — so each kernel wires its own grid/DMA
+        structure around IDENTICAL math; the interpret-mode autodiff-oracle
+        tests pin both schedules to `update_k_reference`.
 
-        The batch arrives as ONE packed (1, W, BT) tile per grid step — the
-        LANES-MINOR replay layout of models/replay.py (obs/next_obs/action/
-        reward/discount at 8-aligned W-row offsets), so the tile DMA is a
-        contiguous slice of the ring with no relayout.  No 128-column input
-        padding: obs/action enter the first layer via split matmuls, and the
-        padded W1 rows past obs_dim+2 keep zero gradients so the packed weight
-        layout is unchanged.
-
-        EVERY per-sample small tensor (action, reward, discount, noise, q, tq,
-        logp, actor head, head grads) lives FEATURE-MAJOR, shape (f<=4, BT) with
-        the batch on the 128-lane axis.  Batch-major (BT, f<=4) would waste
-        126/128 lanes of every vreg — ~16x more VPU work on exactly the ops that
-        dominate once the matmuls are tiled (measured: the batch-major kernel ran
-        at ~13% MFU with the VPU as the bottleneck).  Rank-1 broadcasts like
-        dq * w3_row become K=1 matmuls on the MXU instead of lane-broadcast
-        relayouts.  Only the (BT, 256) activations stay batch-major — there the
-        lane axis is already full."""
+        Layout rules (unchanged from the original single-kernel version):
+        the batch tile d0 is ONE packed (W, BT) lanes-minor slab (obs/
+        next_obs/action/reward/discount at 8-aligned W-row offsets,
+        models/replay.py).  EVERY per-sample small tensor (action, reward,
+        discount, noise, q, tq, logp, actor head, head grads) lives
+        FEATURE-MAJOR, shape (f<=4, BT) with the batch on the 128-lane axis —
+        batch-major would waste 126/128 lanes of every vreg (~16x more VPU
+        work; measured ~13% MFU).  Rank-1 broadcasts like dq * w3_row become
+        K=1 matmuls on the MXU instead of lane-broadcast relayouts.  Only the
+        (BT, H) activations stay batch-major — there the lane axis is full."""
         o0, n0, a0, rr, dd, _ = replay_cols(obs_dim, 2)
         one0 = dd + 1  # constant-1.0 row (replay_ones_row): first-layer bias fold
+        od = obs_dim
+        mmd = jnp.bfloat16 if mm_bf16 else None
+        # adt: POST-RELU activation dtype.  With mm_bf16 the h1/h2 live in
+        # bf16 so every consumer matmul (forward next layer AND backward
+        # weight grad) reads them cast-free.  Heads, q-values, logp and all
+        # gradients remain f32 (MXU accumulation is f32 either way).
+        adt = jnp.bfloat16 if mm_bf16 else jnp.float32
+        dot = lambda a, b: _dot(a, b, mm_dtype=mmd)
+        dg = lambda a, b, ca, cb: _dg(a, b, ca, cb, mm_dtype=mmd)
+        # Mosaic's tpu.matmul requires a 32-bit accumulator and this target
+        # has no bf16 compare, so pre-activations z stay f32 (backward relu
+        # masks compare on them); only the post-relu h is cast to adt.
+        relu = lambda z: jnp.maximum(z, 0.0).astype(adt)
+
+        def consts(scal, kf):
+            """Per-update scalars.  b**t via exp(t*log b): Mosaic has no powf
+            lowering.  Adam bias corrections are scalar-folded:
+            update = -a_lr*m/(sqrt(v)+c_eps) == -lr*(m/bc1)/(sqrt(v/bc2)+EPS),
+            so each element pays one division instead of three (same fold in
+            the pure-jax reference `_adam`)."""
+            tstep = scal[0, S_COUNT0] + kf + 1.0
+            bc1 = 1.0 - jnp.exp(tstep * jnp.float32(math.log(B1)))
+            bc2 = 1.0 - jnp.exp(tstep * jnp.float32(math.log(B2)))
+            sb2 = jnp.sqrt(bc2)
+            return _SimpleNamespace(
+                gamma=scal[0, S_GAMMA], tau=scal[0, S_TAU],
+                te=scal[0, S_TE], invb=scal[0, S_INVB],
+                a_lr=scal[0, S_LR] * sb2 / bc1, c_eps=EPS * sb2,
+                logfloor=scal[0, S_LOGFLOOR])
+
+        def bias_in(r):
+            """Critic first-layer biases ride the f32 action matmul: the
+            weight rows at r0+obs_dim+2 (inside the IN1 padding) hold b1 for
+            the kernel's duration, contracted against the replay tile's ONES
+            row (replay_ones_row).  Canonical storage stays the vec rows
+            (checkpoint layout unchanged): copy in at the first grid step,
+            back out after the last actor apply.  Moments move with them;
+            the vec-row Adam then sees zero grads AND zero moments -> no-op."""
+            for c in (0, 1):
+                rb = R_CW1[c] + obs_dim + 2
+                tb = R_TW1[c] + obs_dim + 2
+                r.w[rb:rb + 1, :] = r.vec[V_CB1[c]:V_CB1[c] + 1, :]
+                r.w[tb:tb + 1, :] = r.vec[V_TB1[c]:V_TB1[c] + 1, :]
+                r.mw[rb:rb + 1, :] = r.mvec[V_CB1[c]:V_CB1[c] + 1, :]
+                r.vw[rb:rb + 1, :] = r.vvec[V_CB1[c]:V_CB1[c] + 1, :]
+                r.mvec[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
+                r.vvec[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
+
+        def bias_out(r):
+            """Sync the critic/target first-layer biases (+ moments) from the
+            working w rows back to their canonical vec rows and re-zero the
+            padded rows, so the EXTERNAL wmat layout is exactly as before the
+            fold (see bias_in)."""
+            z = jnp.zeros((1, H), jnp.float32)
+            for c in (0, 1):
+                rb = R_CW1[c] + obs_dim + 2
+                tb = R_TW1[c] + obs_dim + 2
+                r.vec[V_CB1[c]:V_CB1[c] + 1, :] = r.w[rb:rb + 1, :]
+                r.vec[V_TB1[c]:V_TB1[c] + 1, :] = r.w[tb:tb + 1, :]
+                r.mvec[V_CB1[c]:V_CB1[c] + 1, :] = r.mw[rb:rb + 1, :]
+                r.vvec[V_CB1[c]:V_CB1[c] + 1, :] = r.vw[rb:rb + 1, :]
+                r.w[rb:rb + 1, :] = z
+                r.w[tb:tb + 1, :] = z
+                r.mw[rb:rb + 1, :] = z
+                r.vw[rb:rb + 1, :] = z
+
+        def zero_accums(r):
+            r.gw[:] = jnp.zeros_like(r.gw)
+            r.gvec[:] = jnp.zeros_like(r.gvec)
+            r.acc[0] = 0.0  # loss accumulator
+            r.acc[1] = 0.0  # logp-sum accumulator (actor phase)
+
+        def _alpha(r):
+            la = r.vec[V_MISC:V_MISC + 1, M_LA:M_LA + 1]      # (1, 1)
+            return la, jnp.exp(la)
+
+        def actor_fwd(r, x):
+            # x arrives FEATURE-MAJOR (obs_dim, BT); contract dim 0.
+            # Hidden activations in adt (bf16 on the fast path); the head
+            # comes out f32 so the sampling math keeps full precision.
+            z1 = dg(x, r.w[R_AW1:R_AW1 + od], 0, 0) + r.vec[V_AB1:V_AB1 + 1, :]
+            h1 = relu(z1)
+            z2 = dot(h1, r.w[R_AW2:R_AW2 + H]) + r.vec[V_AB2:V_AB2 + 1, :]
+            h2 = relu(z2)
+            head = dg(r.w[R_AWH:R_AWH + NHEAD], h2, 1, 1)  # (4, BT) f32
+            head = head + jnp.transpose(
+                r.vec[V_MISC:V_MISC + 1, :NHEAD], (1, 0))
+            return head[:2], head[2:NHEAD], z1, h1, z2, h2
+
+        def pair_z1(r, x, a1, r0a, r0b):
+            # BOTH critics' first layers in ONE (od, 2H) + (3, 2H) matmul
+            # pair.  First-layer input is [obs | action | 1]: obs enters
+            # feature-major via its own matmul; a1 is (3, BT) f32
+            # [action(2) | ones] whose contraction against
+            # [W1_action | b1-row] applies the first-layer bias INSIDE the
+            # matmul accumulator (NEXT.md ones-row fold).  The separate
+            # (BT, od~15)x(od, H) matmuls waste the MXU's contraction
+            # depth — pairing along the N axis halves the invocations
+            # (measured 3.3x on the standalone pattern, r4).
+            wx = jnp.concatenate(
+                [r.w[r0a:r0a + od], r.w[r0b:r0b + od]], axis=1)
+            wa = jnp.concatenate(
+                [r.w[r0a + od:r0a + od + 3],
+                 r.w[r0b + od:r0b + od + 3]], axis=1)
+            z1b = dg(x, wx, 0, 0) + _dg(a1, wa, 0, 0)        # (BT, 2H)
+            return z1b[:, :H], z1b[:, H:]
+
+        def critic_tail(r, z1, r0, vb2, vw3, b3col):
+            h1 = relu(z1)
+            z2 = dot(h1, r.w[r0 + IN1:r0 + IN1 + H]) + r.vec[vb2:vb2 + 1, :]
+            h2 = relu(z2)
+            q = dg(r.vec[vw3:vw3 + 1, :], h2, 1, 1)          # (1, BT) f32
+            return q + r.vec[V_MISC:V_MISC + 1, b3col:b3col + 1], z1, h1, z2, h2
+
+        def sample(mean, lsr, eps):
+            # all (2, BT) feature-major
+            ls = jnp.clip(lsr, LOG_STD_MIN, LOG_STD_MAX)
+            std = jnp.exp(ls)
+            pre = mean + std * eps
+            a = jnp.tanh(pre)
+            lp = -0.5 * (eps * eps + 2 * ls + LOG2PI)
+            lp = lp - 2 * (LOG2 - pre - jax.nn.softplus(-2 * pre))
+            return a, jnp.sum(lp, axis=0, keepdims=True), pre, ls, std
+
+        def adam_rows(cn, ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
+            glo = lo if glo is None else glo
+            g = ref_g[glo:glo + (hi - lo), :]
+            m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
+            v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
+            ref_m[lo:hi, :] = m
+            ref_v[lo:hi, :] = v
+            ref_w[lo:hi, :] = ref_w[lo:hi, :] - cn.a_lr * m / (
+                jnp.sqrt(v) + cn.c_eps)
+
+        # ---------------------------------------------------- phase 0: critic
+        def critic_tile(r, cn, d0, eps_c):
+            """Accumulate critic gradients for one (W, BT) batch tile."""
+            _, alpha = _alpha(r)
+            x_o = d0[o0:o0 + od].astype(adt)               # (od, BT)
+            x_n = d0[n0:n0 + od].astype(adt)
+            ones = d0[one0:one0 + 1]                       # (1, BT) f32 = 1.0
+            a1_t = jnp.concatenate([d0[a0:a0 + 2], ones], axis=0)  # (3, BT)
+            rw = d0[rr:rr + 1]                             # (1, BT)
+            dc = d0[dd:dd + 1]
+
+            mean, lsr, *_ = actor_fwd(r, x_n)
+            na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
+            na1 = jnp.concatenate([na, ones], axis=0)
+            z1t = pair_z1(r, x_n, na1, R_TW1[0], R_TW1[1])
+            q1t, *_ = critic_tail(r, z1t[0], R_TW1[0], V_TB2[0], V_TW3[0], M_TB3[0])
+            q2t, *_ = critic_tail(r, z1t[1], R_TW1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
+            tq = rw + cn.gamma * dc * (jnp.minimum(q1t, q2t) - alpha * nlogp)
+
+            loss = 0.0
+            z1p = pair_z1(r, x_o, a1_t, R_CW1[0], R_CW1[1])
+            dz1s = []
+            for c in (0, 1):
+                q, z1, h1, z2, h2 = critic_tail(
+                    r, z1p[c], R_CW1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
+                dq = 2.0 * (q - tq) * cn.invb                   # (1, BT)
+                loss = loss + jnp.sum((q - tq) ** 2) * cn.invb
+                r.gvec[V_CW3[c]:V_CW3[c] + 1, :] += dg(dq, h2, 1, 0)
+                r.gvec[V_MISC:V_MISC + 1, M_CB3[0] + c:M_CB3[0] + c + 1] += jnp.sum(dq)[None, None]
+                # rank-1 outer product on the MXU, not a lane-broadcast
+                dh2 = _dg(dq, r.vec[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
+                dz2 = jnp.where(z2 > 0, dh2, 0.0)
+                r.gw[R_CW1[c] + IN1:R_CW1[c] + IN1 + H, :] += dg(h1, dz2, 0, 0)
+                r.gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
+                dh1 = dg(dz2, r.w[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
+                dz1s.append(jnp.where(z1 > 0, dh1, 0.0))
+            # paired weight-grad matmuls: both critics' dz1 against the
+            # SHARED x_o / [action | ones] inputs, split back to rows.
+            # (the ones row's grad IS the bias grad — rides this matmul.)
+            dz1b = jnp.concatenate(dz1s, axis=1)                # (BT, 2H)
+            gx = dg(x_o, dz1b, 1, 0)                            # (od, 2H)
+            ga = _dg(a1_t, dz1b, 1, 0)                          # (3, 2H)
+            for c in (0, 1):
+                r.gw[R_CW1[c]:R_CW1[c] + od, :] += gx[:, c * H:(c + 1) * H]
+                r.gw[R_CW1[c] + od:R_CW1[c] + od + 3, :] += ga[:, c * H:(c + 1) * H]
+            r.acc[0] += loss
+
+        def critic_apply(r, cn):
+            adam_rows(cn, r.w, r.mw, r.vw, r.gw, R_CW1[0], R_CW1[1] + IN1 + H)
+            adam_rows(cn, r.vec, r.mvec, r.vvec, r.gvec, V_CB1[0], V_CW3[1] + 1)
+            # misc-row c_b3 columns
+            g = r.gvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
+            m = B1 * r.mvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B1) * g
+            v = B2 * r.vvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B2) * g * g
+            r.mvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = m
+            r.vvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = v
+            r.vec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = (
+                r.vec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
+                - cn.a_lr * m / (jnp.sqrt(v) + cn.c_eps))
+            # polyak: target <- (1-tau) target + tau critic
+            r.w[R_TW1[0]:R_TW1[1] + IN1 + H, :] = (
+                (1 - cn.tau) * r.w[R_TW1[0]:R_TW1[1] + IN1 + H, :]
+                + cn.tau * r.w[R_CW1[0]:R_CW1[1] + IN1 + H, :])
+            r.vec[V_TB1[0]:V_TB2[1] + 1, :] = (
+                (1 - cn.tau) * r.vec[V_TB1[0]:V_TB2[1] + 1, :]
+                + cn.tau * r.vec[V_CB1[0]:V_CB2[1] + 1, :])
+            r.vec[V_TW3[0]:V_TW3[1] + 1, :] = (
+                (1 - cn.tau) * r.vec[V_TW3[0]:V_TW3[1] + 1, :]
+                + cn.tau * r.vec[V_CW3[0]:V_CW3[1] + 1, :])
+            r.vec[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]] = (
+                (1 - cn.tau) * r.vec[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]]
+                + cn.tau * r.vec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]])
+            r.losses[0, 0:1, 0:1] = jnp.full((1, 1), r.acc[0])
+
+        # ----------------------------------------------------- phase 1: actor
+        def actor_tile(r, cn, d0, eps_a):
+            """Accumulate actor gradients for one tile (against the UPDATED
+            critic, SAC ordering — critic_apply must precede)."""
+            _, alpha = _alpha(r)
+            x_o = d0[o0:o0 + od].astype(adt)               # (od, BT)
+            ones = d0[one0:one0 + 1]                       # (1, BT) f32 = 1.0
+
+            mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(r, x_o)
+            a, logp, pre, ls, std = sample(mean, lsr, eps_a)
+            a1 = jnp.concatenate([a, ones], axis=0)        # (3, BT)
+
+            qs, caches = [], []
+            z1p = pair_z1(r, x_o, a1, R_CW1[0], R_CW1[1])
+            for c in (0, 1):
+                q, z1, h1, z2, h2 = critic_tail(
+                    r, z1p[c], R_CW1[c], V_CB2[c], V_CW3[c],
+                    M_CB3[0] + c)
+                qs.append(q)
+                caches.append((z1, h1, z2, h2))
+            minq = jnp.minimum(qs[0], qs[1])               # (1, BT)
+            pick0 = (qs[0] <= qs[1]).astype(jnp.float32)
+            r.acc[0] += jnp.sum(alpha * logp - minq) * cn.invb
+            r.acc[1] += jnp.sum(logp)
+
+            # dL/da through the min critic's input columns
+            da = jnp.zeros_like(a)                         # (2, BT)
+            for c in (0, 1):
+                z1, h1, z2, h2 = caches[c]
+                sel = pick0 if c == 0 else (1.0 - pick0)
+                dq = -cn.invb * sel                             # (1, BT)
+                dh2 = _dg(dq, r.vec[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
+                dz2 = jnp.where(z2 > 0, dh2, 0.0)
+                dh1 = dg(dz2, r.w[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
+                dz1 = jnp.where(z1 > 0, dh1, 0.0)
+                # only the ACTION columns of the input gradient are needed:
+                # da (2,BT) = W1[action rows] (2,H) . dz1^T (H,BT)
+                da = da + dg(r.w[R_CW1[c] + od:R_CW1[c] + od + 2], dz1, 1, 1)
+
+            dlogp = alpha * cn.invb                             # (1, 1)
+            sig = jax.nn.sigmoid(-2.0 * pre)
+            dpre = da * (1.0 - a * a) + dlogp * (2.0 - 4.0 * sig)
+            dmean = dpre
+            clipmask = ((lsr > LOG_STD_MIN) & (lsr < LOG_STD_MAX)).astype(jnp.float32)
+            dlsr = (dpre * std * eps_a - dlogp) * clipmask
+            ghead = jnp.concatenate([dmean, dlsr], axis=0)      # (4, BT)
+
+            r.gw[G_AWH:G_AWH + NHEAD, :] += dg(ghead, h2a, 1, 0)
+            r.gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] += jnp.transpose(
+                jnp.sum(ghead, axis=1, keepdims=True), (1, 0))
+            dh2 = dg(ghead, r.w[R_AWH:R_AWH + NHEAD], 0, 0)
+            dz2 = jnp.where(z2a > 0, dh2, 0.0)
+            r.gw[R_AW2:R_AW2 + H, :] += dg(h1a, dz2, 0, 0)
+            r.gvec[V_AB2:V_AB2 + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
+            dh1 = dg(dz2, r.w[R_AW2:R_AW2 + H], 1, 1)
+            dz1 = jnp.where(z1a > 0, dh1, 0.0)
+            r.gw[R_AW1:R_AW1 + od, :] += dg(x_o, dz1, 1, 0)
+            r.gvec[V_AB1:V_AB1 + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+
+        def actor_apply(r, cn):
+            la, _ = _alpha(r)
+            adam_rows(cn, r.w, r.mw, r.vw, r.gw, R_AW1, R_AW2 + H)
+            adam_rows(cn, r.w, r.mw, r.vw, r.gw, R_AWH, R_AWH + NHEAD,
+                      glo=G_AWH)
+            adam_rows(cn, r.vec, r.mvec, r.vvec, r.gvec, V_AB1, V_AB2 + 1)
+            # a_bh columns of the misc row
+            g = r.gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
+            m = B1 * r.mvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B1) * g
+            v = B2 * r.vvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B2) * g * g
+            r.mvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = m
+            r.vvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = v
+            r.vec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = (
+                r.vec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
+                - cn.a_lr * m / (jnp.sqrt(v) + cn.c_eps))
+            # temperature
+            g_la = jnp.full((1, 1), -(r.acc[1] * cn.invb + cn.te))
+            m = B1 * r.mvec[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B1) * g_la
+            v = B2 * r.vvec[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B2) * g_la * g_la
+            r.mvec[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = m
+            r.vvec[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = v
+            new_la = la - cn.a_lr * m / (jnp.sqrt(v) + cn.c_eps)
+            if alpha_floor > 0:
+                new_la = jnp.maximum(new_la, cn.logfloor)
+            r.vec[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = new_la
+            r.losses[0, 0:1, 1:2] = jnp.full((1, 1), r.acc[0])
+
+        return _SimpleNamespace(
+            consts=consts, bias_in=bias_in, bias_out=bias_out,
+            zero_accums=zero_accums, critic_tile=critic_tile,
+            critic_apply=critic_apply, actor_tile=actor_tile,
+            actor_apply=actor_apply)
+
+
+    def _make_kernel(obs_dim: int, n_tiles: int, alpha_floor: float,
+                     mm_bf16: bool = True):
+        """Legacy schedule: grid (K, 2, T).  Phase 0: critic grads + Adam +
+        polyak; phase 1: actor grads + Adam + temperature.  The batch arrives
+        as ONE packed (1, W, BT) tile per grid step via BlockSpec — no
+        128-column input padding: obs/action enter the first layer via split
+        matmuls, and the padded W1 rows past obs_dim+2 keep zero gradients so
+        the packed weight layout is unchanged."""
+        bodies = _make_bodies(obs_dim, alpha_floor, mm_bf16)
         import os as _os
         _ablate = _os.environ.get("SGT_FUSED_ABLATE", "")  # timing experiments only
 
@@ -454,323 +762,149 @@ def _build_width(h: int):
                    losses_ref, gw, gvec, acc):
             # The six *_in refs alias the six *_ref outputs (input_output_aliases)
             # — same memory; all reads/writes go through the output refs.
-            mmd = jnp.bfloat16 if mm_bf16 else None
-            # adt: POST-RELU activation dtype.  With mm_bf16 the h1/h2 live in
-            # bf16 so every consumer matmul (forward next layer AND backward
-            # weight grad) reads them cast-free.  Heads, q-values, logp and all
-            # gradients remain f32 (MXU accumulation is f32 either way).
-            adt = jnp.bfloat16 if mm_bf16 else jnp.float32
-            dot = lambda a, b: _dot(a, b, mm_dtype=mmd)
-            dg = lambda a, b, ca, cb: _dg(a, b, ca, cb, mm_dtype=mmd)
-            # Mosaic's tpu.matmul requires a 32-bit accumulator and this target
-            # has no bf16 compare, so pre-activations z stay f32 (backward relu
-            # masks compare on them); only the post-relu h is cast to adt, which
-            # every consumer (fwd matmul + backward grad matmul) then uses
-            # cast-free.
-            relu = lambda z: jnp.maximum(z, 0.0).astype(adt)
+            r = _SimpleNamespace(w=w_ref, vec=vec_ref, mw=mw_ref, vw=vw_ref,
+                                 mvec=mvec_ref, vvec=vvec_ref,
+                                 gw=gw, gvec=gvec, acc=acc, losses=losses_ref)
             ph = pl.program_id(1)
             t = pl.program_id(2)
             k_id = pl.program_id(0)
             last_k = k_id == pl.num_programs(0) - 1
-            kf = k_id.astype(jnp.float32)
+            cn = bodies.consts(scal, k_id.astype(jnp.float32))
 
-            gamma, tau, lr = scal[0, S_GAMMA], scal[0, S_TAU], scal[0, S_LR]
-            te, invb = scal[0, S_TE], scal[0, S_INVB]
-            tstep = scal[0, S_COUNT0] + kf + 1.0
-            # b**t via exp(t*log b): Mosaic has no powf lowering
-            bc1 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B1)))
-            bc2 = 1.0 - jnp.exp(tstep * jnp.float32(__import__("math").log(B2)))
-            # Scalar-folded Adam bias corrections: update = -a_lr*m/(sqrt(v)+c_eps)
-            # == -lr*(m/bc1)/(sqrt(v/bc2)+EPS), with the per-k scalars hoisted so
-            # each element pays one division instead of three (same fold in the
-            # pure-jax reference `_adam`).
-            sb2 = jnp.sqrt(bc2)
-            a_lr = lr * sb2 / bc1
-            c_eps = EPS * sb2
-
-            # Critic first-layer biases ride the f32 action matmul: the weight
-            # rows at r0+obs_dim+2 (inside the IN1 padding) hold b1 for the
-            # kernel's duration, contracted against the replay tile's ONES row
-            # (replay_ones_row).  Canonical storage stays the vec rows
-            # (checkpoint layout unchanged): copy in at the first grid step, back
-            # out after the last critic apply.  Moments move with them;
-            # the vec-row Adam then sees zero grads AND zero moments -> no-op.
             @pl.when((k_id == 0) & (ph == 0) & (t == 0))
             def _bias_in():
-                for c in (0, 1):
-                    rb = R_CW1[c] + obs_dim + 2
-                    tb = R_TW1[c] + obs_dim + 2
-                    w_ref[rb:rb + 1, :] = vec_ref[V_CB1[c]:V_CB1[c] + 1, :]
-                    w_ref[tb:tb + 1, :] = vec_ref[V_TB1[c]:V_TB1[c] + 1, :]
-                    mw_ref[rb:rb + 1, :] = mvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
-                    vw_ref[rb:rb + 1, :] = vvec_ref[V_CB1[c]:V_CB1[c] + 1, :]
-                    mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
-                    vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = jnp.zeros((1, H), jnp.float32)
+                bodies.bias_in(r)
 
             @pl.when(t == 0)
             def _zero():
-                gw[:] = jnp.zeros_like(gw)
-                gvec[:] = jnp.zeros_like(gvec)
-                acc[0] = 0.0  # loss accumulator
-                acc[1] = 0.0  # logp-sum accumulator (actor phase)
-
-            la = vec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1]      # (1, 1)
-            alpha = jnp.exp(la)                                  # (1, 1)
-
-            def actor_fwd(x):
-                # x arrives FEATURE-MAJOR (obs_dim, BT); contract dim 0.
-                # Hidden activations in adt (bf16 on the fast path); the head
-                # comes out f32 so the sampling math keeps full precision.
-                z1 = dg(x, w_ref[R_AW1:R_AW1 + obs_dim], 0, 0) + vec_ref[V_AB1:V_AB1 + 1, :]
-                h1 = relu(z1)
-                z2 = dot(h1, w_ref[R_AW2:R_AW2 + H]) + vec_ref[V_AB2:V_AB2 + 1, :]
-                h2 = relu(z2)
-                head = dg(w_ref[R_AWH:R_AWH + NHEAD], h2, 1, 1)  # (4, BT) f32
-                head = head + jnp.transpose(
-                    vec_ref[V_MISC:V_MISC + 1, :NHEAD], (1, 0))
-                return head[:2], head[2:NHEAD], z1, h1, z2, h2
-
-            def pair_z1(x, a1, r0a, r0b):
-                # BOTH critics' first layers in ONE (od, 2H) + (3, 2H) matmul
-                # pair.  First-layer input is [obs | action | 1]: obs enters
-                # feature-major via its own matmul; a1 is (3, BT) f32
-                # [action(2) | ones] whose contraction against
-                # [W1_action | b1-row] applies the first-layer bias INSIDE the
-                # matmul accumulator (NEXT.md ones-row fold).  The separate
-                # (BT, od~15)x(od, H) matmuls waste the MXU's contraction
-                # depth — pairing along the N axis halves the invocations
-                # (measured 3.3x on the standalone pattern, r4).
-                wx = jnp.concatenate(
-                    [w_ref[r0a:r0a + obs_dim], w_ref[r0b:r0b + obs_dim]], axis=1)
-                wa = jnp.concatenate(
-                    [w_ref[r0a + obs_dim:r0a + obs_dim + 3],
-                     w_ref[r0b + obs_dim:r0b + obs_dim + 3]], axis=1)
-                z1b = dg(x, wx, 0, 0) + _dg(a1, wa, 0, 0)        # (BT, 2H)
-                return z1b[:, :H], z1b[:, H:]
-
-            def critic_tail(z1, r0, vb2, vw3, b3col):
-                h1 = relu(z1)
-                z2 = dot(h1, w_ref[r0 + IN1:r0 + IN1 + H]) + vec_ref[vb2:vb2 + 1, :]
-                h2 = relu(z2)
-                q = dg(vec_ref[vw3:vw3 + 1, :], h2, 1, 1)        # (1, BT) f32
-                return q + vec_ref[V_MISC:V_MISC + 1, b3col:b3col + 1], z1, h1, z2, h2
-
-            def sample(mean, lsr, eps):
-                # all (2, BT) feature-major
-                ls = jnp.clip(lsr, LOG_STD_MIN, LOG_STD_MAX)
-                std = jnp.exp(ls)
-                pre = mean + std * eps
-                a = jnp.tanh(pre)
-                lp = -0.5 * (eps * eps + 2 * ls + LOG2PI)
-                lp = lp - 2 * (LOG2 - pre - jax.nn.softplus(-2 * pre))
-                return a, jnp.sum(lp, axis=0, keepdims=True), pre, ls, std
-
-            # ---------------------------------------------------- phase 0: critic
-            od = obs_dim
+                bodies.zero_accums(r)
 
             @pl.when(ph == 0 if "nophase0" not in _ablate else ph == -1)
             def _critic_phase():
-                d0 = data[0]                                   # (W, BT)
-                x_o = d0[o0:o0 + od].astype(adt)               # (od, BT)
-                x_n = d0[n0:n0 + od].astype(adt)
-                ones = d0[one0:one0 + 1]                       # (1, BT) f32 = 1.0
-                a1_t = jnp.concatenate([d0[a0:a0 + 2], ones], axis=0)  # (3, BT)
-                r = d0[rr:rr + 1]                              # (1, BT)
-                d = d0[dd:dd + 1]
-                eps_c = noise[0][0:2]                          # (2, BT)
-
-                mean, lsr, *_ = actor_fwd(x_n)
-                na, nlogp, _, _, _ = sample(mean, lsr, eps_c)
-                na1 = jnp.concatenate([na, ones], axis=0)
-                z1t = pair_z1(x_n, na1, R_TW1[0], R_TW1[1])
-                q1t, *_ = critic_tail(z1t[0], R_TW1[0], V_TB2[0], V_TW3[0], M_TB3[0])
-                q2t, *_ = critic_tail(z1t[1], R_TW1[1], V_TB2[1], V_TW3[1], M_TB3[0] + 1)
-                tq = r + gamma * d * (jnp.minimum(q1t, q2t) - alpha * nlogp)
-
-                loss = 0.0
-                z1p = pair_z1(x_o, a1_t, R_CW1[0], R_CW1[1])
-                dz1s = []
-                for c in (0, 1):
-                    q, z1, h1, z2, h2 = critic_tail(
-                        z1p[c], R_CW1[c], V_CB2[c], V_CW3[c], M_CB3[0] + c)
-                    dq = 2.0 * (q - tq) * invb                      # (1, BT)
-                    loss = loss + jnp.sum((q - tq) ** 2) * invb
-                    gvec[V_CW3[c]:V_CW3[c] + 1, :] += dg(dq, h2, 1, 0)
-                    gvec[V_MISC:V_MISC + 1, M_CB3[0] + c:M_CB3[0] + c + 1] += jnp.sum(dq)[None, None]
-                    # rank-1 outer product on the MXU, not a lane-broadcast
-                    dh2 = _dg(dq, vec_ref[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
-                    dz2 = jnp.where(z2 > 0, dh2, 0.0)
-                    gw[R_CW1[c] + IN1:R_CW1[c] + IN1 + H, :] += dg(h1, dz2, 0, 0)
-                    gvec[V_CB2[c]:V_CB2[c] + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
-                    dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
-                    dz1s.append(jnp.where(z1 > 0, dh1, 0.0))
-                # paired weight-grad matmuls: both critics' dz1 against the
-                # SHARED x_o / [action | ones] inputs, split back to rows.
-                # (the ones row's grad IS the bias grad — rides this matmul.)
-                dz1b = jnp.concatenate(dz1s, axis=1)                # (BT, 2H)
-                gx = dg(x_o, dz1b, 1, 0)                            # (od, 2H)
-                ga = _dg(a1_t, dz1b, 1, 0)                          # (3, 2H)
-                for c in (0, 1):
-                    gw[R_CW1[c]:R_CW1[c] + obs_dim, :] += gx[:, c * H:(c + 1) * H]
-                    gw[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 3, :] += ga[:, c * H:(c + 1) * H]
-                acc[0] += loss
+                bodies.critic_tile(r, cn, data[0], noise[0][0:2])
 
                 @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
                 def _apply_critic():
-                    def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
-                        glo = lo if glo is None else glo
-                        g = ref_g[glo:glo + (hi - lo), :]
-                        m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
-                        v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
-                        ref_m[lo:hi, :] = m
-                        ref_v[lo:hi, :] = v
-                        ref_w[lo:hi, :] = ref_w[lo:hi, :] - a_lr * m / (
-                            jnp.sqrt(v) + c_eps)
+                    bodies.critic_apply(r, cn)
 
-                    adam_rows(w_ref, mw_ref, vw_ref, gw, R_CW1[0], R_CW1[1] + IN1 + H)
-                    adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_CB1[0], V_CW3[1] + 1)
-                    # misc-row c_b3 columns
-                    g = gvec[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
-                    m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B1) * g
-                    v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] + (1 - B2) * g * g
-                    mvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = m
-                    vvec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = v
-                    vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]] = (
-                        vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]]
-                        - a_lr * m / (jnp.sqrt(v) + c_eps))
-                    # polyak: target <- (1-tau) target + tau critic
-                    w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :] = (
-                        (1 - tau) * w_ref[R_TW1[0]:R_TW1[1] + IN1 + H, :]
-                        + tau * w_ref[R_CW1[0]:R_CW1[1] + IN1 + H, :])
-                    vec_ref[V_TB1[0]:V_TB2[1] + 1, :] = (
-                        (1 - tau) * vec_ref[V_TB1[0]:V_TB2[1] + 1, :]
-                        + tau * vec_ref[V_CB1[0]:V_CB2[1] + 1, :])
-                    vec_ref[V_TW3[0]:V_TW3[1] + 1, :] = (
-                        (1 - tau) * vec_ref[V_TW3[0]:V_TW3[1] + 1, :]
-                        + tau * vec_ref[V_CW3[0]:V_CW3[1] + 1, :])
-                    vec_ref[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]] = (
-                        (1 - tau) * vec_ref[V_MISC:V_MISC + 1, M_TB3[0]:M_TB3[1]]
-                        + tau * vec_ref[V_MISC:V_MISC + 1, M_CB3[0]:M_CB3[1]])
-                    losses_ref[0, 0:1, 0:1] = jnp.full((1, 1), acc[0])
-
-            # ----------------------------------------------------- phase 1: actor
             @pl.when(ph == 1 if "nophase1" not in _ablate else ph == -1)
             def _actor_phase():
-                x_o = data[0][o0:o0 + od].astype(adt)          # (od, BT)
-                ones = data[0][one0:one0 + 1]                  # (1, BT) f32 = 1.0
-                eps_a = noise[0][2:NHEAD]                      # (2, BT)
-
-                mean, lsr, z1a, h1a, z2a, h2a = actor_fwd(x_o)
-                a, logp, pre, ls, std = sample(mean, lsr, eps_a)
-                a1 = jnp.concatenate([a, ones], axis=0)        # (3, BT)
-
-                qs, caches = [], []
-                z1p = pair_z1(x_o, a1, R_CW1[0], R_CW1[1])
-                for c in (0, 1):
-                    q, z1, h1, z2, h2 = critic_tail(
-                        z1p[c], R_CW1[c], V_CB2[c], V_CW3[c],
-                        M_CB3[0] + c)
-                    qs.append(q)
-                    caches.append((z1, h1, z2, h2))
-                minq = jnp.minimum(qs[0], qs[1])               # (1, BT)
-                pick0 = (qs[0] <= qs[1]).astype(jnp.float32)
-                acc[0] += jnp.sum(alpha * logp - minq) * invb
-                acc[1] += jnp.sum(logp)
-
-                # dL/da through the min critic's input columns
-                da = jnp.zeros_like(a)                         # (2, BT)
-                for c in (0, 1):
-                    z1, h1, z2, h2 = caches[c]
-                    sel = pick0 if c == 0 else (1.0 - pick0)
-                    dq = -invb * sel                                 # (1, BT)
-                    dh2 = _dg(dq, vec_ref[V_CW3[c]:V_CW3[c] + 1, :], 0, 0)  # (BT, H)
-                    dz2 = jnp.where(z2 > 0, dh2, 0.0)
-                    dh1 = dg(dz2, w_ref[R_CW1[c] + IN1:R_CW1[c] + IN1 + H], 1, 1)
-                    dz1 = jnp.where(z1 > 0, dh1, 0.0)
-                    # only the ACTION columns of the input gradient are needed:
-                    # da (2,BT) = W1[action rows] (2,H) . dz1^T (H,BT)
-                    da = da + dg(w_ref[R_CW1[c] + obs_dim:R_CW1[c] + obs_dim + 2], dz1, 1, 1)
-
-                dlogp = alpha * invb                                 # (1, 1)
-                sig = jax.nn.sigmoid(-2.0 * pre)
-                dpre = da * (1.0 - a * a) + dlogp * (2.0 - 4.0 * sig)
-                dmean = dpre
-                clipmask = ((lsr > LOG_STD_MIN) & (lsr < LOG_STD_MAX)).astype(jnp.float32)
-                dlsr = (dpre * std * eps_a - dlogp) * clipmask
-                ghead = jnp.concatenate([dmean, dlsr], axis=0)       # (4, BT)
-
-                gw[G_AWH:G_AWH + NHEAD, :] += dg(ghead, h2a, 1, 0)
-                gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] += jnp.transpose(
-                    jnp.sum(ghead, axis=1, keepdims=True), (1, 0))
-                dh2 = dg(ghead, w_ref[R_AWH:R_AWH + NHEAD], 0, 0)
-                dz2 = jnp.where(z2a > 0, dh2, 0.0)
-                gw[R_AW2:R_AW2 + H, :] += dg(h1a, dz2, 0, 0)
-                gvec[V_AB2:V_AB2 + 1, :] += jnp.sum(dz2, axis=0, keepdims=True)
-                dh1 = dg(dz2, w_ref[R_AW2:R_AW2 + H], 1, 1)
-                dz1 = jnp.where(z1a > 0, dh1, 0.0)
-                gw[R_AW1:R_AW1 + obs_dim, :] += dg(x_o, dz1, 1, 0)
-                gvec[V_AB1:V_AB1 + 1, :] += jnp.sum(dz1, axis=0, keepdims=True)
+                bodies.actor_tile(r, cn, data[0], noise[0][2:NHEAD])
 
                 @pl.when(t == n_tiles - 1 if "noapply" not in _ablate else t == -1)
                 def _apply_actor():
-                    def adam_rows(ref_w, ref_m, ref_v, ref_g, lo, hi, glo=None):
-                        glo = lo if glo is None else glo
-                        g = ref_g[glo:glo + (hi - lo), :]
-                        m = B1 * ref_m[lo:hi, :] + (1 - B1) * g
-                        v = B2 * ref_v[lo:hi, :] + (1 - B2) * g * g
-                        ref_m[lo:hi, :] = m
-                        ref_v[lo:hi, :] = v
-                        ref_w[lo:hi, :] = ref_w[lo:hi, :] - a_lr * m / (
-                            jnp.sqrt(v) + c_eps)
+                    bodies.actor_apply(r, cn)
 
-                    adam_rows(w_ref, mw_ref, vw_ref, gw, R_AW1, R_AW2 + H)
-                    adam_rows(w_ref, mw_ref, vw_ref, gw, R_AWH, R_AWH + NHEAD,
-                              glo=G_AWH)
-                    adam_rows(vec_ref, mvec_ref, vvec_ref, gvec, V_AB1, V_AB2 + 1)
-                    # a_bh columns of the misc row
-                    g = gvec[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
-                    m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B1) * g
-                    v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] + (1 - B2) * g * g
-                    mvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = m
-                    vvec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = v
-                    vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]] = (
-                        vec_ref[V_MISC:V_MISC + 1, M_ABH[0]:M_ABH[1]]
-                        - a_lr * m / (jnp.sqrt(v) + c_eps))
-                    # temperature
-                    g_la = jnp.full((1, 1), -(acc[1] * invb + te))
-                    m = B1 * mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B1) * g_la
-                    v = B2 * vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] + (1 - B2) * g_la * g_la
-                    mvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = m
-                    vvec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = v
-                    new_la = la - a_lr * m / (jnp.sqrt(v) + c_eps)
-                    if alpha_floor > 0:
-                        new_la = jnp.maximum(new_la, scal[0, S_LOGFLOOR])
-                    vec_ref[V_MISC:V_MISC + 1, M_LA:M_LA + 1] = new_la
-                    losses_ref[0, 0:1, 1:2] = jnp.full((1, 1), acc[0])
-
-                    # LAST grid step of the whole kernel: sync the critic/target
-                    # first-layer biases (+ moments) from the working w rows back
-                    # to their canonical vec rows and re-zero the padded rows, so
-                    # the EXTERNAL wmat layout is exactly as before the fold
-                    # (see _bias_in).
                     @pl.when(last_k)
                     def _bias_out():
-                        z = jnp.zeros((1, H), jnp.float32)
-                        for c in (0, 1):
-                            rb = R_CW1[c] + obs_dim + 2
-                            tb = R_TW1[c] + obs_dim + 2
-                            vec_ref[V_CB1[c]:V_CB1[c] + 1, :] = w_ref[rb:rb + 1, :]
-                            vec_ref[V_TB1[c]:V_TB1[c] + 1, :] = w_ref[tb:tb + 1, :]
-                            mvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = mw_ref[rb:rb + 1, :]
-                            vvec_ref[V_CB1[c]:V_CB1[c] + 1, :] = vw_ref[rb:rb + 1, :]
-                            w_ref[rb:rb + 1, :] = z
-                            w_ref[tb:tb + 1, :] = z
-                            mw_ref[rb:rb + 1, :] = z
-                            vw_ref[rb:rb + 1, :] = z
+                        bodies.bias_out(r)
 
         return kernel
 
 
+    def _make_kernel_fold(obs_dim: int, n_tiles: int, alpha_floor: float,
+                          mm_bf16: bool, rpb: int, L: int, bt: int):
+        """Folded schedule: grid (K,) — ONE grid step per SAC update
+        (VERDICT r4 item 3).  The (K, 2, T) schedule pays ~3.9 ms/call of
+        per-grid-step fixed cost at the flagship's 256 grid steps (r4
+        ablation); folding both phases and all batch tiles into one step
+        cuts the step count 8x AND halves the batch DMA traffic (each tile
+        was fetched twice — once per phase; here the minibatch is resident
+        for both).
+
+        Two data modes, mirroring `_kernel_call`:
+        - rpb == 0 (batches mode): `data` is the (1, W, B) whole-minibatch
+          VMEM block per grid step (Mosaic double-buffers it across k);
+          tiles are lane-slices.
+        - rpb > 0 (ring mode): `data` is the UNBLOCKED (rows, W, lanes)
+          replay ring in ANY memory space; the kernel manually DMAs the
+          update's rpb rows into a (2, W, rpb*L) VMEM scratch (row j at lane
+          offset j*L, so the minibatch is CONTIGUOUS and compute tiles may
+          span multiple replay rows — bt up to B), with the NEXT update's
+          rows prefetched during the current update's compute (cross-k
+          double buffering on `sem`)."""
+        bodies = _make_bodies(obs_dim, alpha_floor, mm_bf16)
+        ring_mode = rpb > 0
+
+        def _compute(r, cn, k_id, get_tile, noise):
+            last_k = k_id == pl.num_programs(0) - 1
+
+            @pl.when(k_id == 0)
+            def _bias_in():
+                bodies.bias_in(r)
+
+            bodies.zero_accums(r)
+            for t in range(n_tiles):
+                bodies.critic_tile(r, cn, get_tile(t),
+                                   noise[0][0:2, t * bt:(t + 1) * bt])
+            bodies.critic_apply(r, cn)
+            bodies.zero_accums(r)
+            for t in range(n_tiles):
+                bodies.actor_tile(r, cn, get_tile(t),
+                                  noise[0][2:NHEAD, t * bt:(t + 1) * bt])
+            bodies.actor_apply(r, cn)
+
+            @pl.when(last_k)
+            def _bias_out():
+                bodies.bias_out(r)
+
+        if not ring_mode:
+            def kernel(scal, data, noise,
+                       _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
+                       w_ref, vec_ref, mw_ref, vw_ref, mvec_ref, vvec_ref,
+                       losses_ref, gw, gvec, acc):
+                r = _SimpleNamespace(w=w_ref, vec=vec_ref, mw=mw_ref, vw=vw_ref,
+                                     mvec=mvec_ref, vvec=vvec_ref,
+                                     gw=gw, gvec=gvec, acc=acc, losses=losses_ref)
+                k_id = pl.program_id(0)
+                cn = bodies.consts(scal, k_id.astype(jnp.float32))
+                _compute(r, cn, k_id,
+                         lambda t: data[0][:, t * bt:(t + 1) * bt], noise)
+
+            return kernel
+
+        def kernel(idx_ref, scal, ring, noise,
+                   _w_in, _vec_in, _mw_in, _vw_in, _mvec_in, _vvec_in,
+                   w_ref, vec_ref, mw_ref, vw_ref, mvec_ref, vvec_ref,
+                   losses_ref, gw, gvec, acc, buf, sem):
+            r = _SimpleNamespace(w=w_ref, vec=vec_ref, mw=mw_ref, vw=vw_ref,
+                                 mvec=mvec_ref, vvec=vvec_ref,
+                                 gw=gw, gvec=gvec, acc=acc, losses=losses_ref)
+            k_id = pl.program_id(0)
+            nk = pl.num_programs(0)
+            cn = bodies.consts(scal, k_id.astype(jnp.float32))
+
+            def row_copy(kk, j):
+                kk = jnp.asarray(kk, jnp.int32)
+                slot = jax.lax.rem(kk, jnp.int32(2))
+                return pltpu.make_async_copy(
+                    ring.at[idx_ref[kk * rpb + j]],
+                    buf.at[slot, :, pl.ds(j * L, L)],
+                    sem.at[slot, j])
+
+            # Warm-up: k=0 fetches its own rows; every step prefetches k+1's
+            # rows so their DMA overlaps this update's compute.
+            @pl.when(k_id == 0)
+            def _warm():
+                for j in range(rpb):
+                    row_copy(0, j).start()
+
+            @pl.when(k_id + 1 < nk)
+            def _prefetch():
+                for j in range(rpb):
+                    row_copy(k_id + 1, j).start()
+
+            for j in range(rpb):
+                row_copy(k_id, j).wait()
+
+            slot = jax.lax.rem(jnp.asarray(k_id, jnp.int32), jnp.int32(2))
+
+            def get_tile(t):
+                return buf[slot, :, t * bt:(t + 1) * bt]
+
+            _compute(r, cn, k_id, get_tile, noise)
+
+        return kernel
 
 
     class FusedState(NamedTuple):
@@ -823,17 +957,24 @@ def _build_width(h: int):
 
 
     def _kernel_call(f: FusedState, data, row_idx, noises, *, obs_dim, gamma, tau,
-                     lr, target_entropy, alpha_floor, block, interpret, mm_bf16):
-        """Shared pallas_call driver for both sampling modes.
+                     lr, target_entropy, alpha_floor, block, interpret, mm_bf16,
+                     fold=False):
+        """Shared pallas_call driver for both sampling modes and both grid
+        schedules.
 
         row_idx None: `data` is the packed (K, W, B) minibatch tensor (lanes
         minor) and tiles index it directly.  row_idx given: `data` is the whole
         (rows, W, lanes) replay ring; the indices are scalar-prefetched and each
-        grid step's BlockSpec DMAs its tile straight out of the ring (XLA
-        row-gathers from HBM measured ~11 ms for 262K transitions — slower than
-        the entire K-update kernel; the in-kernel DMA is free, double-buffered
-        behind compute).  Returns (FusedState', critic_losses (K,), actor_losses
-        (K,))."""
+        tile is DMA'd straight out of the ring (XLA row-gathers from HBM
+        measured ~11 ms for 262K transitions — slower than the entire K-update
+        kernel; the in-kernel DMA is free, double-buffered behind compute).
+
+        fold=False: legacy (K, 2, T) grid — one batch tile per grid step via
+        BlockSpec.  fold=True: (K,) grid — one grid step per update; batches
+        mode fetches the whole minibatch as one block, ring mode manually DMAs
+        the rpb replay rows with cross-k double buffering (see
+        _make_kernel_fold).  Returns (FusedState', critic_losses (K,),
+        actor_losses (K,))."""
         K, B = noises.shape[0], noises.shape[1]
         f32 = jnp.float32
         noise = jnp.swapaxes(noises.astype(f32).reshape(K, B, 4), 1, 2)  # (K, 4, B)
@@ -843,6 +984,7 @@ def _build_width(h: int):
             jnp.log(alpha_floor) if alpha_floor > 0 else 0.0, 1.0 / B, 0.0,
         ]], f32)
 
+        fold_scratch = []
         if row_idx is None:
             W = data.shape[1]
             bt = min(block, B)
@@ -850,8 +992,14 @@ def _build_width(h: int):
                 raise ValueError(f"batch {B} not divisible by block {bt}")
             n_tiles = B // bt
             extra, prefetch = (), 0
-            data_spec = lambda args: pl.BlockSpec(
-                (1, W, bt), lambda k, ph, t, *a: (k, 0, t), memory_space=pltpu.VMEM)
+            rpb = tpr = 0
+            if fold:
+                data_spec = pl.BlockSpec(
+                    (1, W, B), lambda k, *a: (k, 0, 0), memory_space=pltpu.VMEM)
+            else:
+                data_spec = pl.BlockSpec(
+                    (1, W, bt), lambda k, ph, t, *a: (k, 0, t),
+                    memory_space=pltpu.VMEM)
         else:
             R, W, L = data.shape
             rpb, rem = divmod(B, L)
@@ -865,27 +1013,57 @@ def _build_width(h: int):
             tpr = L // bt                 # tiles per replay row
             n_tiles = rpb * tpr           # tiles per minibatch
             extra, prefetch = (row_idx.astype(jnp.int32),), 1
-            # tile t of minibatch k covers lane-block t % tpr of replay row
-            # row_idx[k*rpb + t//tpr]
-            data_spec = lambda args: pl.BlockSpec(
-                (1, W, bt),
-                lambda k, ph, t, idx: (idx[k * rpb + t // tpr], 0, t % tpr),
-                memory_space=pltpu.VMEM)
+            if fold:
+                # Unblocked ring in ANY: the kernel DMAs rows itself, row j
+                # landing at lane offset j*L of a contiguous (W, B) buffer —
+                # so compute tiles may span MULTIPLE replay rows (the legacy
+                # grid caps bt at L; bigger tiles amortize the per-matmul
+                # latency that dominates at these sizes).
+                bt = min(block, B)
+                if B % bt:
+                    raise ValueError(f"batch {B} not divisible by block {bt}")
+                tpr = 0
+                n_tiles = B // bt
+                data_spec = pl.BlockSpec(memory_space=pl.ANY)
+                fold_scratch = [
+                    pltpu.VMEM((2, W, rpb * L), f32),
+                    pltpu.SemaphoreType.DMA((2, rpb)),
+                ]
+            else:
+                # tile t of minibatch k covers lane-block t % tpr of replay row
+                # row_idx[k*rpb + t//tpr]
+                data_spec = pl.BlockSpec(
+                    (1, W, bt),
+                    lambda k, ph, t, idx: (idx[k * rpb + t // tpr], 0, t % tpr),
+                    memory_space=pltpu.VMEM)
 
-        kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
-        nargs = prefetch
-        batch_spec = lambda rows: pl.BlockSpec(
-            (1, rows, bt), lambda k, ph, t, *a: (k, 0, t), memory_space=pltpu.VMEM)
-        full = lambda shape: pl.BlockSpec(
-            shape, lambda k, ph, t, *a: (0,) * len(shape), memory_space=pltpu.VMEM)
+        if fold:
+            kernel = _make_kernel_fold(obs_dim, n_tiles, alpha_floor, mm_bf16,
+                                       rpb, (data.shape[2] if row_idx is not None
+                                             else 0), bt)
+            grid = (K,)
+            kmap = lambda k, *a: (k, 0, 0)
+            fullmap = lambda shape: (lambda k, *a: (0,) * len(shape))
+            noise_spec = pl.BlockSpec((1, 4, B), lambda k, *a: (k, 0, 0),
+                                      memory_space=pltpu.VMEM)
+            smem_map = lambda k, *a: (0, 0)
+        else:
+            kernel = _make_kernel(obs_dim, n_tiles, alpha_floor, mm_bf16)
+            grid = (K, 2, n_tiles)
+            kmap = lambda k, ph, t, *a: (k, 0, 0)
+            fullmap = lambda shape: (lambda k, ph, t, *a: (0,) * len(shape))
+            noise_spec = pl.BlockSpec((1, 4, bt), lambda k, ph, t, *a: (k, 0, t),
+                                      memory_space=pltpu.VMEM)
+            smem_map = lambda k, ph, t, *a: (0, 0)
+        full = lambda shape: pl.BlockSpec(shape, fullmap(shape),
+                                          memory_space=pltpu.VMEM)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=prefetch,
-            grid=(K, 2, n_tiles),
+            grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 8), lambda k, ph, t, *a: (0, 0),
-                             memory_space=pltpu.SMEM),
-                data_spec(None), batch_spec(4),
+                pl.BlockSpec((1, 8), smem_map, memory_space=pltpu.SMEM),
+                data_spec, noise_spec,
                 full((WROWS, H)), full((VROWS, H)),
                 full((WROWS, H)), full((WROWS, H)),
                 full((VROWS, H)), full((VROWS, H)),
@@ -894,17 +1072,18 @@ def _build_width(h: int):
                 full((WROWS, H)), full((VROWS, H)),
                 full((WROWS, H)), full((WROWS, H)),
                 full((VROWS, H)), full((VROWS, H)),
-                pl.BlockSpec((1, 8, 128), lambda k, ph, t, *a: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), kmap, memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((GROWS, H), f32),
                 pltpu.VMEM((VROWS, H), f32),
                 pltpu.SMEM((4,), f32),
-            ],
+            ] + fold_scratch,
         )
 
-        body = ((lambda idx_ref, *refs: kernel(*refs)) if prefetch else kernel)
+        needs_idx = bool(prefetch) and not (fold and row_idx is not None)
+        body = ((lambda idx_ref, *refs: kernel(*refs)) if needs_idx else kernel)
+        nargs = prefetch
         out = pl.pallas_call(
             body,
             grid_spec=grid_spec,
@@ -957,13 +1136,13 @@ def _build_width(h: int):
     @functools.partial(
         jax.jit,
         static_argnames=("obs_dim", "gamma", "tau", "lr", "target_entropy",
-                         "alpha_floor", "block", "interpret", "mm_bf16"),
+                         "alpha_floor", "block", "interpret", "mm_bf16", "fold"),
     )
     def fused_update_k(packed: PackedParams, adam: PackedAdam, batches, noises,
                        obs_dim: int, gamma: float, tau: float, lr: float,
                        target_entropy: float, alpha_floor: float = 0.0,
                        block: int = 512, interpret: bool = False,
-                       mm_bf16: bool = True):
+                       mm_bf16: bool = True, fold: bool = False):
         """K sequential SAC updates in one Pallas kernel launch (PackedParams
         boundary; tests and one-off callers — the trainer keeps a FusedState and
         calls fused_update_k_wmat* to skip the pack/unpack).
@@ -975,7 +1154,7 @@ def _build_width(h: int):
         f2, closs, aloss = fused_update_k_wmat_batches(
             f, batches, noises, obs_dim=obs_dim, gamma=gamma, tau=tau, lr=lr,
             target_entropy=target_entropy, alpha_floor=alpha_floor, block=block,
-            interpret=interpret, mm_bf16=mm_bf16)
+            interpret=interpret, mm_bf16=mm_bf16, fold=fold)
         packed2, adam2 = fused_unpack(f2)
         return packed2, adam2, closs, aloss
 
@@ -983,14 +1162,14 @@ def _build_width(h: int):
     @functools.partial(
         jax.jit,
         static_argnames=("obs_dim", "gamma", "tau", "lr", "target_entropy",
-                         "alpha_floor", "block", "interpret", "mm_bf16"),
+                         "alpha_floor", "block", "interpret", "mm_bf16", "fold"),
     )
     def fused_update_k_from_replay(packed: PackedParams, adam: PackedAdam,
                                    data, row_idx, noises,
                                    obs_dim: int, gamma: float, tau: float, lr: float,
                                    target_entropy: float, alpha_floor: float = 0.0,
                                    block: int = 512, interpret: bool = False,
-                                   mm_bf16: bool = True):
+                                   mm_bf16: bool = True, fold: bool = False):
         """K sequential SAC updates sampling the replay buffer IN-KERNEL, from
         the PackedParams boundary (see fused_update_k docstring and _kernel_call
         for the sampling mechanics).
@@ -1002,7 +1181,7 @@ def _build_width(h: int):
         f2, closs, aloss = fused_update_k_wmat(
             f, data, row_idx, noises, obs_dim=obs_dim, gamma=gamma, tau=tau,
             lr=lr, target_entropy=target_entropy, alpha_floor=alpha_floor,
-            block=block, interpret=interpret, mm_bf16=mm_bf16)
+            block=block, interpret=interpret, mm_bf16=mm_bf16, fold=fold)
         packed2, adam2 = fused_unpack(f2)
         return packed2, adam2, closs, aloss
 

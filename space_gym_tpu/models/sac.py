@@ -58,6 +58,11 @@ class SACConfig(NamedTuple):
     fused_updates: bool = False
     fused_block: int = 2048      # batch tile per kernel grid step (measured
                                  # optimum on v5e: 2048 > 1024 > 512 >> 4096)
+    # Folded kernel schedule: ONE grid step per update (fused_sac
+    # _make_kernel_fold) instead of the legacy (K, 2, T) grid — kills the
+    # per-grid-step fixed cost pinned by the r4 ablation (~3.9 ms/call at the
+    # flagship's 256 grid steps) via manual double-buffered row DMA.
+    fused_fold: bool = False
 
 
 class SACState(NamedTuple):
@@ -299,7 +304,7 @@ class SACTrainer:
                 jnp.maximum(state.replay.filled, 1))
             fstate, closs, aloss = fs.fused_update_k_wmat(
                 fstate, state.replay.data, row_idx, noises,
-                block=c.fused_block, **args)
+                block=c.fused_block, fold=c.fused_fold, **args)
         else:
             if total % c.lanes == 0 and c.batch_size >= c.lanes:
                 big = replay_sample_rows(state.replay, k_samp, total)
@@ -311,7 +316,8 @@ class SACTrainer:
             )
             if jax.default_backend() == "tpu":
                 fstate, closs, aloss = fs.fused_update_k_wmat_batches(
-                    fstate, batches, noises, block=c.fused_block, **args)
+                    fstate, batches, noises, block=c.fused_block,
+                    fold=c.fused_fold, **args)
             else:
                 packed, adam = fs.fused_unpack(fstate)
                 packed, adam, closs, aloss = fs.update_k_reference(

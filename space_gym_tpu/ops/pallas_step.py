@@ -171,22 +171,40 @@ def _make_physics_body(
                     for c in range(6)
                 ]
 
-            roots = []
-            for e in range(n_events):
-                lo = jnp.full_like(comp[0], t0)
-                hi = jnp.full_like(comp[0], t0 + h)
-                f_lo = g[e]
-                for _ in range(refine_iters):
-                    mid = 0.5 * (lo + hi)
-                    g_mid = events(sol(mid), px, py)[e]
-                    left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
-                    lo = jnp.where(left, lo, mid)
-                    hi = jnp.where(left, mid, hi)
-                    f_lo = jnp.where(left, f_lo, g_mid)
-                roots.append(jnp.where(active[e], hi, jnp.asarray(jnp.inf, dt)))
-            t_root = roots[0]
-            for e in range(1, n_events):
-                t_root = jnp.minimum(t_root, roots[e])
+            # JOINT event refinement (r5, VERDICT r4 item 5): one bisection on
+            # the sign-normalized minimum over ACTIVE events instead of one
+            # bisection per event + min of roots.  Cuts the dominant serial
+            # chain from n_events*refine_iters dense evals (60 for 2P) to
+            # refine_iters (12).  For a lane with exactly ONE active event —
+            # the overwhelmingly common case — the iterates are identical to
+            # the per-event bisection (the min is that event's normalized g),
+            # so the refined time is bit-equal; with several simultaneously
+            # active events it converges to the earliest crossing of the
+            # combined front, the same h/2^refine_iters-wide bracket the
+            # min-of-roots took (events are sign-normalized so every active
+            # g decreases through its root; inactive events sit at +inf).
+            one = jnp.asarray(1.0, dt)
+            inf = jnp.asarray(jnp.inf, dt)
+            sgn = [jnp.where(g[e] < 0, -one, one) for e in range(n_events)]
+
+            def m_norm(ge):
+                mm = None
+                for e in range(n_events):
+                    v = jnp.where(active[e], sgn[e] * ge[e], inf)
+                    mm = v if mm is None else jnp.minimum(mm, v)
+                return mm
+
+            lo = jnp.full_like(comp[0], t0)
+            hi = jnp.full_like(comp[0], t0 + h)
+            f_lo = m_norm(g)  # events at t0 already evaluated
+            for _ in range(refine_iters):
+                mid = 0.5 * (lo + hi)
+                g_mid = m_norm(events(sol(mid), px, py))
+                left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
+                lo = jnp.where(left, lo, mid)
+                hi = jnp.where(left, mid, hi)
+                f_lo = jnp.where(left, f_lo, g_mid)
+            t_root = hi
             y_root = sol(t_root)
 
             for c in range(6):

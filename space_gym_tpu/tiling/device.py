@@ -156,7 +156,21 @@ def find_new_goal(geom: TilingGeometry, ts: TilingState, rs: RandSource, dtype=j
     entry_valid = jnp.arange(MAX_FREE_DUP)[None, :] < free[:, None]
     masked = jnp.where(entry_valid, scores, -1.0).reshape(-1)
     k_cand = min(MAX_GOAL_CANDIDATES, geom.n_tiles * MAX_FREE_DUP)
-    top_vals, top_flat = jax.lax.top_k(masked, k_cand)
+    # k_cand sequential masked max/argmax passes — identical selection law to
+    # lax.top_k (descending values, ties to the lower index; ops/pallas_full.py
+    # uses the same construction), but SPMD-clean: XLA's top_k sharding rule
+    # all-gathers the vmapped batch axis, which planted a (lanes, 12)
+    # all-gather inside EVERY rollout step of the multi-device fixed-physics
+    # path (measured: 2-process fair efficiency 0.36 from that alone).
+    # max/argmax are plain reduces and shard lane-parallel.
+    entry_iota = jnp.arange(masked.shape[0], dtype=jnp.int32)
+    work = masked
+    tv, tf = [], []
+    for _ in range(k_cand):
+        tv.append(jnp.max(work))
+        tf.append(jnp.argmax(work).astype(jnp.int32))
+        work = jnp.where(entry_iota == tf[-1], -2.0, work)
+    top_vals, top_flat = jnp.stack(tv), jnp.stack(tf)
     top_idx = (top_flat // MAX_FREE_DUP).astype(jnp.int32)  # entry -> tile
     valid = top_vals >= 0  # fewer than k_cand free entries -> masked out
 

@@ -209,9 +209,12 @@ def test_kernel_sequential_calls_interpret():
         np.testing.assert_array_equal(pad, np.zeros_like(pad), err_msg=f)
 
 
-def test_kernel_matches_reference_interpret():
+@pytest.mark.parametrize("fold", [False, True], ids=["grid_k2t", "fold_k"])
+def test_kernel_matches_reference_interpret(fold):
     """The Pallas kernel (interpret mode) reproduces the autodiff reference:
-    K=2 updates, 2 batch tiles, all params + adam moments + losses."""
+    K=2 updates, 2 batch tiles, all params + adam moments + losses.  Both
+    grid schedules — the legacy (K,2,T) and the folded (K,) one-step-per-
+    update schedule (VERDICT r4 item 3) — are pinned to the same oracle."""
     tr = make_trainer()
     st = tr.init(jax.random.key(1))
     obs_dim = tr.obs_dim
@@ -235,7 +238,7 @@ def test_kernel_matches_reference_interpret():
     # matmul mode is a TPU throughput option validated by the looser test below.
     p_k, ad_k, cl_k, al_k = fs.fused_update_k(
         packed, adam, batches, noises, *args, block=BT, interpret=True,
-        mm_bf16=False)
+        mm_bf16=False, fold=fold)
 
     np.testing.assert_allclose(np.asarray(cl_k), np.asarray(cl_ref),
                                rtol=1e-4, atol=1e-5, err_msg="critic loss")
@@ -280,11 +283,14 @@ def test_kernel_bf16_close_to_reference_interpret():
         assert (d <= 1e-4).mean() > 0.99, (f, (d <= 1e-4).mean())
 
 
-def test_from_replay_matches_reference_interpret():
-    """fused_update_k_from_replay (scalar-prefetch in-kernel row sampling)
-    reproduces gather -> update_k_reference exactly: same rows, same math.
+@pytest.mark.parametrize("fold", [False, True], ids=["grid_k2t", "fold_k"])
+def test_from_replay_matches_reference_interpret(fold):
+    """fused_update_k_from_replay (in-kernel row sampling) reproduces
+    gather -> update_k_reference exactly: same rows, same math.
     Uses rows=8, lanes=64, B=128 (2 replay rows per minibatch, 2 lane tiles
-    per row) so every index-map case (k, t//tpr, t%tpr) is exercised."""
+    per row) so every index-map case (k, t//tpr, t%tpr) is exercised.
+    fold=True additionally exercises the manual double-buffered row DMA
+    (_make_kernel_fold ring mode) in interpret mode."""
     tr = make_trainer()
     st = tr.init(jax.random.key(3))
     obs_dim = tr.obs_dim
@@ -320,7 +326,7 @@ def test_from_replay_matches_reference_interpret():
 
     p_k, ad_k, cl_k, al_k = fs.fused_update_k_from_replay(
         packed, adam, data, row_idx, noises, *args, block=BT, interpret=True,
-        mm_bf16=False)
+        mm_bf16=False, fold=fold)
 
     np.testing.assert_allclose(np.asarray(cl_k), np.asarray(cl_ref),
                                rtol=1e-4, atol=1e-5, err_msg="critic loss")

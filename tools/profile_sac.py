@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="profile the fused-kernel learner path")
     ap.add_argument("--fused-block", type=int, default=1024)
+    ap.add_argument("--fold", action="store_true",
+                    help="SAC: folded (K,) kernel schedule (fused_fold)")
     ap.add_argument("--hidden", type=int, default=256)
     args = ap.parse_args()
 
@@ -91,6 +93,7 @@ def main():
             fused_updates=args.fused,
             fused_block=args.fused_block,
             hidden=(args.hidden, args.hidden),
+            **({"fused_fold": True} if args.fold and args.algo == "sac" else {}),
         )
     tr = mk_tr(eng, cfg)
     state = tr.init(jax.random.key(0))
