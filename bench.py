@@ -86,7 +86,7 @@ def probe_backend_with_retry(tries: int, timeout_s: float, wait_s: float) -> str
     raise RuntimeError(f"backend unavailable after {tries} probes: {last}")
 
 
-def build(batch: int, steps: int, substeps: int, backend: str):
+def build(batch: int, steps: int, substeps: int, backend: str, block=None):
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +100,7 @@ def build(batch: int, steps: int, substeps: int, backend: str):
         physics="fixed" if backend == "cpu" else "pallas",
         dtype=jnp.float32,
         substeps=substeps,
+        pallas_block=block,
     )
 
     def run(state, key):
@@ -205,7 +206,7 @@ def measure(batch: int, args, backend: str) -> dict:
     import jax
     import numpy as np
 
-    eng, run = build(batch, args.steps, args.substeps, backend)
+    eng, run = build(batch, args.steps, args.substeps, backend, args.block)
     state, _ = eng.init(jax.random.key(0), batch)
 
     # Warm-up: compile + one full run.  NOTE: device->host fetch (np.asarray)
@@ -306,6 +307,8 @@ def main():
                     help="pin a single batch size (default: staged 32768 then "
                          "262144 within the budget)")
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--block", type=int, default=None,
+                    help="pallas lane-block override (default: engine's 1024)")
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")

@@ -91,6 +91,7 @@ class EnvEngine:
         pallas_fuse: str = "full",
         in_kernel_rng=False,
         obs_features: str | None = None,
+        pallas_block: int | None = None,
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -99,6 +100,7 @@ class EnvEngine:
         self.config = config
         self.physics = physics
         self.dtype = dtype
+        self.pallas_block = pallas_block
         self.substeps = substeps
         self.refine_iters = refine_iters
         self.auto_reset = auto_reset
@@ -248,7 +250,15 @@ class EnvEngine:
                 fused_step_for_config,
             )
 
-            block = 1024 if batch % 1024 == 0 else (512 if batch % 512 == 0 else batch)
+            # Default 1024 was the r1-r4 measured optimum; pallas_block
+            # overrides for lane-block ILP sweeps (a (1024,) f32 per-lane
+            # array is exactly ONE 8x128 vreg, so the kernel's dependency
+            # chain is pure instruction latency at block 1024 — larger
+            # blocks put 2-8 independent vregs behind every chain step).
+            block = self.pallas_block or (
+                1024 if batch % 1024 == 0 else (512 if batch % 512 == 0 else batch))
+            if batch % block:
+                block = batch
             interp = jax.default_backend() != "tpu"
             action_b = jax.vmap(self._translate_action)(raw_action)
             if self.pallas_fuse == "full":
