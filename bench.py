@@ -86,7 +86,8 @@ def probe_backend_with_retry(tries: int, timeout_s: float, wait_s: float) -> str
     raise RuntimeError(f"backend unavailable after {tries} probes: {last}")
 
 
-def build(batch: int, steps: int, substeps: int, backend: str, block=None):
+def build(batch: int, steps: int, substeps: int, backend: str, block=None,
+          tableau="dp5"):
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +102,7 @@ def build(batch: int, steps: int, substeps: int, backend: str, block=None):
         dtype=jnp.float32,
         substeps=substeps,
         pallas_block=block,
+        pallas_tableau=tableau,
     )
 
     def run(state, key):
@@ -206,7 +208,8 @@ def measure(batch: int, args, backend: str) -> dict:
     import jax
     import numpy as np
 
-    eng, run = build(batch, args.steps, args.substeps, backend, args.block)
+    eng, run = build(batch, args.steps, args.substeps, backend, args.block,
+                     args.tableau)
     state, _ = eng.init(jax.random.key(0), batch)
 
     # Warm-up: compile + one full run.  NOTE: device->host fetch (np.asarray)
@@ -309,6 +312,9 @@ def main():
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--block", type=int, default=None,
                     help="pallas lane-block override (default: engine's 1024)")
+    ap.add_argument("--tableau", default="dp5", choices=["dp5", "bs3"],
+                    help="RK tableau for the pallas physics body (bs3 = "
+                         "Bogacki-Shampine 3(2), shorter stage chain)")
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")

@@ -92,6 +92,7 @@ class EnvEngine:
         in_kernel_rng=False,
         obs_features: str | None = None,
         pallas_block: int | None = None,
+        pallas_tableau: str = "dp5",
     ):
         if physics not in ("fixed", "adaptive", "pallas"):
             raise ValueError(
@@ -101,6 +102,7 @@ class EnvEngine:
         self.physics = physics
         self.dtype = dtype
         self.pallas_block = pallas_block
+        self.pallas_tableau = pallas_tableau
         self.substeps = substeps
         self.refine_iters = refine_iters
         self.auto_reset = auto_reset
@@ -265,7 +267,8 @@ class EnvEngine:
                 return self._step_full_fused(state, action_b, key, block, interp)
             if self.pallas_fuse == "env":
                 fused = fused_env_step_for_config(
-                    self.config, self.substeps, self.refine_iters, block, interp
+                    self.config, self.substeps, self.refine_iters, block, interp,
+                    tableau=self.pallas_tableau,
                 )
                 y_b, term_b, obs_b, rew_b = fused(
                     state.y, action_b, state.planets_pos, state.goal_pos,
@@ -283,7 +286,8 @@ class EnvEngine:
                 )
 
             fused = fused_step_for_config(
-                self.config, self.substeps, self.refine_iters, block, interp
+                self.config, self.substeps, self.refine_iters, block, interp,
+                tableau=self.pallas_tableau,
             )
             y_b, term_b = fused(state.y, action_b, state.planets_pos)
 
@@ -309,7 +313,7 @@ class EnvEngine:
         batch = state.y.shape[0]
         full = full_step_for_config(
             cfg, self.substeps, self.refine_iters, block, interp,
-            self.in_kernel_rng,
+            self.in_kernel_rng, self.pallas_tableau,
         )
         if self.in_kernel_rng:
             u = jax.random.key_data(key) if jnp.issubdtype(

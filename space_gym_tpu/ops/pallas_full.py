@@ -110,7 +110,7 @@ def _threefry_uniform_matrix(k0, k1, base_index, n_rows, block):
 
 
 def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=False,
-                   in_kernel_rng=False):
+                   in_kernel_rng=False, tableau="dp5"):
     """Build the full env-step kernel for `config`.
 
     step(y, action, planets, goal, ref_orbit, tili, col_shift, steps_f? ...)
@@ -136,6 +136,7 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
     body = _make_physics_body(
         cfg.ship, cfg.planet_masses, cfg.planet_radii, ws,
         cfg.max_abs_vel_angle, cfg.step_size, n_substeps, refine_iters,
+        tableau,
     )
 
     if geom is not None:
@@ -695,5 +696,6 @@ def make_full_step(config, n_substeps=2, refine_iters=12, block=1024, interpret=
 
 @functools.lru_cache(maxsize=None)
 def full_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False,
-                         in_kernel_rng=False):
-    return make_full_step(config, substeps, refine_iters, block, interpret, in_kernel_rng)
+                         in_kernel_rng=False, tableau="dp5"):
+    return make_full_step(config, substeps, refine_iters, block, interpret,
+                          in_kernel_rng, tableau)

@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .constants import G
 from .field import STEERING_ACCELERATION, STEERING_VELOCITY, VELOCITY_STEERING_SCALE, ShipParams
 
-from .rk45 import DP_A, DP_B, DP_P, N_STAGES
+from .rk45 import (BS3_A, BS3_B, BS3_N_STAGES, BS3_P, DP_A, DP_B,
+                   DP_P, N_STAGES)
 
 TWO_PI = 6.283185307179586
 
@@ -69,6 +70,7 @@ def _make_physics_body(
     step_size: float,
     n_substeps: int,
     refine_iters: int,
+    tableau: str = "dp5",
 ):
     """Component-major DP5 + event-bisection body shared by both kernels.
 
@@ -76,6 +78,13 @@ def _make_physics_body(
     comp is a list of 6 (block,) arrays and px/py are per-planet coordinate
     vectors.  The velocity-steering omega override is applied inside.
     """
+    if tableau == "dp5":
+        T_A, T_B, T_P, n_stages = DP_A, DP_B, DP_P, N_STAGES
+    elif tableau == "bs3":
+        T_A, T_B, T_P, n_stages = BS3_A, BS3_B, BS3_P, BS3_N_STAGES
+    else:
+        raise ValueError(f"unknown tableau {tableau!r}")
+    n_pw = len(T_P[0])
     n_planets = len(planet_masses)
     n_events = n_planets + 3
     half = world_size / 2
@@ -132,11 +141,11 @@ def _make_physics_body(
 
         for _ in range(n_substeps):
             K = [f]
-            for s in range(1, N_STAGES):
-                dy = lcomb(K, DP_A[s])
+            for s in range(1, n_stages):
+                dy = lcomb(K, T_A[s])
                 ys = [comp[c] + dy[c] * h for c in range(6)]
                 K.append(rhs(ys, px, py, ae, at))
-            inc = lcomb(K, DP_B)
+            inc = lcomb(K, T_B)
             y_new = [comp[c] + h * inc[c] for c in range(6)]
             f_new = rhs(y_new, px, py, ae, at)
             K.append(f_new)
@@ -153,21 +162,21 @@ def _make_physics_body(
             fire = any_event & ~terminated
 
             Q = [
-                [_wsum([st[c] for st in K], tuple(DP_P[j][m] for j in range(7)))
-                 for m in range(4)]
+                [_wsum([st[c] for st in K],
+                       tuple(T_P[j][m] for j in range(n_stages + 1)))
+                 for m in range(n_pw)]
                 for c in range(6)
             ]
             t0 = t
 
             def sol(tq, Q=Q, comp=comp, t0=t0):
                 xq = (tq - t0) / h
-                p1 = xq
-                p2 = p1 * xq
-                p3 = p2 * xq
-                p4 = p3 * xq
+                pws, pw = [], xq
+                for _m in range(n_pw):
+                    pws.append(pw)
+                    pw = pw * xq
                 return [
-                    h * (Q[c][0] * p1 + Q[c][1] * p2 + Q[c][2] * p3 + Q[c][3] * p4)
-                    + comp[c]
+                    h * sum(Q[c][m] * pws[m] for m in range(n_pw)) + comp[c]
                     for c in range(6)
                 ]
 
@@ -256,12 +265,13 @@ def make_fused_step(
     refine_iters: int = 12,
     block: int = 1024,
     interpret: bool = False,
+    tableau: str = "dp5",
 ):
     """Build `step(y (B,6), action (B,2), planets (B,P,2)) -> (y', terminated)`."""
     n_planets = len(planet_masses)
     body = _make_physics_body(
         ship, planet_masses, planet_radii, world_size, max_abs_vel_angle,
-        step_size, n_substeps, refine_iters,
+        step_size, n_substeps, refine_iters, tableau,
     )
 
     def kernel(y_ref, a_ref, p_ref, yo_ref, term_ref):
@@ -298,6 +308,7 @@ def make_fused_env_step(
     refine_iters: int = 12,
     block: int = 1024,
     interpret: bool = False,
+    tableau: str = "dp5",
 ):
     """Physics + observation + reward in one kernel.
 
@@ -314,7 +325,7 @@ def make_fused_env_step(
     body = _make_physics_body(
         config.ship, config.planet_masses, config.planet_radii,
         config.world_size, config.max_abs_vel_angle, config.step_size,
-        n_substeps, refine_iters,
+        n_substeps, refine_iters, tableau,
     )
     radii = tuple(float(r) for r in config.planet_radii)
     ws = config.world_size
@@ -482,7 +493,8 @@ def make_fused_env_step(
 
 
 @functools.lru_cache(maxsize=None)
-def fused_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False):
+def fused_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False,
+                          tableau="dp5"):
     """EnvConfig -> physics-only fused step (cached; EnvConfig is hashable)."""
     return make_fused_step(
         config.ship,
@@ -495,11 +507,13 @@ def fused_step_for_config(config, substeps=2, refine_iters=12, block=1024, inter
         refine_iters=refine_iters,
         block=block,
         interpret=interpret,
+        tableau=tableau,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def fused_env_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False):
+def fused_env_step_for_config(config, substeps=2, refine_iters=12, block=1024, interpret=False,
+                              tableau="dp5"):
     """EnvConfig -> physics+obs+reward fused step (cached)."""
     return make_fused_env_step(
         config,
@@ -507,4 +521,5 @@ def fused_env_step_for_config(config, substeps=2, refine_iters=12, block=1024, i
         refine_iters=refine_iters,
         block=block,
         interpret=interpret,
+        tableau=tableau,
     )

@@ -64,6 +64,27 @@ DP_P = (
 )
 N_STAGES = 6
 
+# Bogacki-Shampine 3(2) (scipy RK23): 3 stages + FSAL.  Used only by the
+# fixed-substep Pallas path as an opt-in shorter-dependency-chain tableau
+# (ops/pallas_step.py tableau="bs3"); local error O(h^4) ~ 1.5e-6 at
+# h = 0.035 - far below the reference's own rtol=1e-3 and the golden
+# tier's 2e-4, but above the DP5 default's ~1e-9.  The adaptive parity
+# integrator in this module remains DP5-only (scipy twin).
+BS3_A = (
+    (),
+    (1 / 2,),
+    (0.0, 3 / 4),
+)
+BS3_B = (2 / 9, 1 / 3, 4 / 9)
+# Cubic interpolant (scipy RK23.P): rows = stages 0..3, cols = powers x^1..x^3.
+BS3_P = (
+    (1.0, -4 / 3, 5 / 9),
+    (0.0, 1.0, -2 / 3),
+    (0.0, 4 / 3, -8 / 9),
+    (0.0, -1.0, 1.0),
+)
+BS3_N_STAGES = 3
+
 STATUS_RUNNING = 0
 STATUS_EVENT = 1
 STATUS_FINISHED = 2
