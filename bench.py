@@ -182,8 +182,9 @@ def roofline(eng, steps_per_s: float):
     # Static VPU-op estimate per lane-step (DP5 physics + events + obs/reward
     # + amortized reset; see ARCHITECTURE.md "per-lane-step decomposition").
     rhs_ops = 30 + 20 * p
+    n_st = 6 if getattr(eng, "pallas_tableau", "dp5") == "dp5" else 3
     est_ops = (
-        eng.substeps * (6 * rhs_ops + 400)          # stages + combos + error
+        eng.substeps * (n_st * rhs_ops + 400)       # stages + combos + error
         + (eng.refine_iters + 2) * (10 + 4 * p)     # event refinement
         + 25 * d + 120                              # obs/reward/reset tail
     )
@@ -312,10 +313,17 @@ def main():
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--block", type=int, default=None,
                     help="pallas lane-block override (default: engine's 1024)")
-    ap.add_argument("--tableau", default="dp5", choices=["dp5", "bs3"],
+    # Headline config bs3 x 1 substep (r5): the throughput path has never
+    # been the bitwise tier — its accuracy contract is the <=2e-4 golden
+    # tier, and bs3-sub1 sits 50x under it (worst live-state diff 4e-6 vs
+    # the DP5-sub2 oracle, 124/124 termination flags exact) while the
+    # serial chain halves twice.  Ladder: dp5x2 184.9M / bs3x2 201.4M /
+    # dp5x1 238.8M / bs3x1 252.5M steps/s.  The ENGINE defaults stay
+    # parity-first (dp5 x 2) — this is a bench-level default only.
+    ap.add_argument("--tableau", default="bs3", choices=["dp5", "bs3"],
                     help="RK tableau for the pallas physics body (bs3 = "
                          "Bogacki-Shampine 3(2), shorter stage chain)")
-    ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--substeps", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")
     ap.add_argument("--probe-tries", type=int, default=3)
