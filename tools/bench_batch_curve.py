@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--batches", default="4096,8192,16384,32768,65536,131072")
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--tableau", default="dp5", choices=["dp5", "bs3"])
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -49,6 +50,7 @@ def main():
         space_gym_tpu.get_config(args.env),
         physics="pallas" if backend == "tpu" else "fixed",
         substeps=args.substeps,
+        pallas_tableau=args.tableau,
     )
     base = None
     for batch in [int(b) for b in args.batches.split(",")]:
