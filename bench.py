@@ -87,7 +87,7 @@ def probe_backend_with_retry(tries: int, timeout_s: float, wait_s: float) -> str
 
 
 def build(batch: int, steps: int, substeps: int, backend: str, block=None,
-          tableau="dp5"):
+          tableau="dp5", refine=12):
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +103,7 @@ def build(batch: int, steps: int, substeps: int, backend: str, block=None,
         substeps=substeps,
         pallas_block=block,
         pallas_tableau=tableau,
+        refine_iters=refine,
     )
 
     def run(state, key):
@@ -210,7 +211,7 @@ def measure(batch: int, args, backend: str) -> dict:
     import numpy as np
 
     eng, run = build(batch, args.steps, args.substeps, backend, args.block,
-                     args.tableau)
+                     args.tableau, args.refine)
     state, _ = eng.init(jax.random.key(0), batch)
 
     # Warm-up: compile + one full run.  NOTE: device->host fetch (np.asarray)
@@ -324,6 +325,17 @@ def main():
                     help="RK tableau for the pallas physics body (bs3 = "
                          "Bogacki-Shampine 3(2), shorter stage chain)")
     ap.add_argument("--substeps", type=int, default=1)
+    # Event refinement is safeguarded Illinois false position (r5b): at 8
+    # iterations the worst crash-lane event-time state error on randomized
+    # sweeps is 5.4e-5 — inside the <=2e-4 golden tier with margin and on par
+    # with the old 12-iteration bisection — while the serial per-substep
+    # refinement chain shrinks by a third (TPU ladder: illinois refine
+    # 12/8/7/6 = 265/282/287/292 M steps/s; 6 has a rare 5e-4 outlier lane,
+    # rejected).  The ENGINE default stays refine_iters=12 (~converged,
+    # 6e-8).
+    ap.add_argument("--refine", type=int, default=8,
+                    help="event-refinement iterations for the pallas body "
+                         "(bench default 8; engine/library default 12)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="small CPU-friendly run")
     ap.add_argument("--probe-tries", type=int, default=3)

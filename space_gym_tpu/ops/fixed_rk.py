@@ -11,15 +11,17 @@ in lockstep with zero divergence — pure fused VPU work under jit/vmap.
 
 Event semantics match the reference's (SURVEY.md Q8): events are checked at
 every substep endpoint; on a sign change the event time is refined by
-bisection on the substep's quartic dense-output polynomial and the returned
-state is the state AT the (earliest) event time, not at t = step_size.
+safeguarded Illinois false position on the substep's quartic dense-output
+polynomial (see _refine_scalar) and the returned state is the state AT the
+(earliest) event time, not at t = step_size.
 Events are supplied as a static tuple of *scalar* functions (one per event,
 ops.events.make_event_component_fns) so that each root-find touches only the
 state components its event reads — XLA dead-code-eliminates the rest of the
 dense polynomial (planet/world events read x,y only; the spin event reads
-omega only).  With `refine_iters=12` the event time is resolved to h/2^12,
-i.e. position error ~|v|*1e-5 — far below the reference's own rtol=1e-3
-integration tolerance (the strict-parity path remains ops.rk45).
+omega only).  With `refine_iters=12` the Illinois iteration is essentially
+converged (measured crash-state error ~6e-8; the bisection worst case
+h/2^12 bounds pathological brackets) — far below the reference's own
+rtol=1e-3 integration tolerance (the strict-parity path remains ops.rk45).
 
 Accuracy: two DP5 substeps over a 0.07 s control interval carry a local error
 O((h/2)^6) ~ 1e-9 on these dynamics — tighter than the reference's adaptive
@@ -42,28 +44,40 @@ class FixedSolveResult(NamedTuple):
     event_index: jax.Array  # int32 index of the earliest fired event (or -1)
 
 
-def _refine_scalar(ev, sol, g_lo, t_lo, t_hi, iters: int):
-    """Bisect the root of ev(sol(t)) on [t_lo, t_hi] given the sign at t_lo.
+def _refine_scalar(ev, sol, g_lo, g_hi, t_lo, t_hi, iters: int):
+    """Refine the root of ev(sol(t)) on [t_lo, t_hi] given the endpoint values.
 
-    Returns the high end of the final bracket (first point at/past the sign
-    change — scipy's root placement up to tolerance).  Meaningless when there
-    is no sign change; the caller masks.
+    Safeguarded Illinois false position (same iterate law as the Pallas
+    kernel's joint refinement, ops/pallas_step.py, so single-active-event
+    lanes produce identical iterates on both paths): work in the sign
+    space normalized so f decreases through the root, take the secant
+    point when it falls strictly inside the bracket (superlinear), fall
+    back to the bisection midpoint otherwise (bisection worst case), and
+    halve the retained endpoint's value when the same side is kept twice
+    (the Illinois anti-stall rule).  Returns the high end of the final
+    bracket (first point at/past the sign change — scipy's root placement
+    up to tolerance).  Meaningless when there is no sign change; the
+    caller masks.
     """
-
-    lo, hi, f_lo = t_lo, t_hi, g_lo
+    one = jnp.ones_like(g_lo)
+    s = jnp.where(g_lo < 0, -one, one)
+    lo, hi, f_lo, f_hi = t_lo, t_hi, s * g_lo, s * g_hi
+    side = jnp.zeros_like(f_lo)
     # Statically unrolled: a lax loop here would emit one sequential while-op
     # per event per substep, whose per-iteration sync overhead dwarfs the
     # (B,)-wide arithmetic.  Unrolled, the whole refinement fuses into the
     # step kernel as straight-line VPU code.
     for _ in range(iters):
-        mid = 0.5 * (lo + hi)
-        g_mid = ev(sol(mid))
-        left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
-        lo, hi, f_lo = (
-            jnp.where(left, lo, mid),
-            jnp.where(left, mid, hi),
-            jnp.where(left, f_lo, g_mid),
-        )
+        mid_fp = hi - f_hi * (hi - lo) / (f_hi - f_lo)
+        good = jnp.isfinite(mid_fp) & (mid_fp > lo) & (mid_fp < hi)
+        mid = jnp.where(good, mid_fp, 0.5 * (lo + hi))
+        g_mid = s * ev(sol(mid))
+        left = g_mid <= 0  # root in [lo, mid]
+        f_lo = jnp.where(left, jnp.where(side > 0, 0.5 * f_lo, f_lo), g_mid)
+        f_hi = jnp.where(left, g_mid, jnp.where(side < 0, 0.5 * f_hi, f_hi))
+        lo = jnp.where(left, lo, mid)
+        hi = jnp.where(left, mid, hi)
+        side = jnp.where(left, one, -one)
     return hi
 
 
@@ -121,7 +135,9 @@ def fixed_solve_step(
 
         roots = []
         for e in range(n_events):
-            root_e = _refine_scalar(event_fns[e], sol, g[e], t, t_new, refine_iters)
+            root_e = _refine_scalar(
+                event_fns[e], sol, g[e], g_new[e], t, t_new, refine_iters
+            )
             roots.append(jnp.where(active[e], root_e, jnp.asarray(jnp.inf, dtype)))
         roots = jnp.stack(roots)
         e_idx = jnp.argmin(roots).astype(jnp.int32)

@@ -2,14 +2,14 @@
 observation + reward tail) for the vectorized engine.
 
 Same semantics as ops.fixed_rk.fixed_solve_step (static Dormand-Prince 5(4)
-substeps + per-event dense-output bisection, state returned at the earliest
-event time), laid out TPU-first:
+substeps + dense-output Illinois event refinement, state returned at the
+earliest event time), laid out TPU-first:
 
 * **component-major layout** — state is (6, B), planets (2P, B), action
   (2, B): the lane axis rides the VPU's 128-wide lane dimension at full
   occupancy, instead of wasting 122/128 lanes on a (B, 6) row layout;
 * **one kernel per control step** — every intermediate of the ~5k-op substep
-  chain (RK stages, dense coefficients, bisection iterates) lives in
+  chain (RK stages, dense coefficients, refinement iterates) lives in
   VMEM/registers for a whole lane block; nothing round-trips to HBM between
   the unrolled operations;
 * grid over lane blocks of `block` lanes (default 1024, the measured sweet
@@ -180,18 +180,18 @@ def _make_physics_body(
                     for c in range(6)
                 ]
 
-            # JOINT event refinement (r5, VERDICT r4 item 5): one bisection on
+            # JOINT event refinement (r5, VERDICT r4 item 5): one root-find on
             # the sign-normalized minimum over ACTIVE events instead of one
-            # bisection per event + min of roots.  Cuts the dominant serial
-            # chain from n_events*refine_iters dense evals (60 for 2P) to
-            # refine_iters (12).  For a lane with exactly ONE active event —
-            # the overwhelmingly common case — the iterates are identical to
-            # the per-event bisection (the min is that event's normalized g),
-            # so the refined time is bit-equal; with several simultaneously
-            # active events it converges to the earliest crossing of the
-            # combined front, the same h/2^refine_iters-wide bracket the
-            # min-of-roots took (events are sign-normalized so every active
-            # g decreases through its root; inactive events sit at +inf).
+            # per event + min of roots.  Cuts the dominant serial chain from
+            # n_events*refine_iters dense evals (60 for 2P) to refine_iters.
+            # For a lane with exactly ONE active event — the overwhelmingly
+            # common case — the iterates are identical to the per-event
+            # refinement (the min is that event's normalized g), so the
+            # refined time is bit-equal to ops.fixed_rk._refine_scalar's;
+            # with several simultaneously active events it converges to the
+            # earliest crossing of the combined front (events are
+            # sign-normalized so every active g decreases through its root;
+            # inactive events sit at +inf).
             one = jnp.asarray(1.0, dt)
             inf = jnp.asarray(jnp.inf, dt)
             sgn = [jnp.where(g[e] < 0, -one, one) for e in range(n_events)]
@@ -203,16 +203,39 @@ def _make_physics_body(
                     mm = v if mm is None else jnp.minimum(mm, v)
                 return mm
 
+            # Root refinement: safeguarded Illinois false position (r5b).
+            # The normalized front f(t) decreases through its root (f_lo >= 0,
+            # f_hi <= 0 on firing lanes), so the secant point brackets with
+            # superlinear convergence; when the secant proposal leaves the
+            # bracket or is non-finite (non-firing lanes carry inf/nan), the
+            # iteration falls back to the bisection midpoint, preserving the
+            # bisection worst case.  The Illinois halving of the retained
+            # endpoint's value prevents the classic regula-falsi stall.  Net:
+            # event-time accuracy at refine_iters=8 matches-or-beats the old
+            # 12-iteration plain bisection (measured worst crash-lane state
+            # error 5.4e-5; at 12 it is ~6e-8 — see RESULTS.md), shortening
+            # the serial per-substep chain by a third at the bench config.
             lo = jnp.full_like(comp[0], t0)
             hi = jnp.full_like(comp[0], t0 + h)
-            f_lo = m_norm(g)  # events at t0 already evaluated
+            f_lo = m_norm(g)  # events at t0 already evaluated (>= 0)
+            f_hi = None
+            for e in range(n_events):
+                v = jnp.where(active[e], sgn[e] * g_new[e], inf)
+                f_hi = v if f_hi is None else jnp.minimum(f_hi, v)
+            side = jnp.zeros_like(comp[0])  # +1: hi moved last, -1: lo moved
             for _ in range(refine_iters):
-                mid = 0.5 * (lo + hi)
+                mid_fp = hi - f_hi * (hi - lo) / (f_hi - f_lo)
+                good = jnp.isfinite(mid_fp) & (mid_fp > lo) & (mid_fp < hi)
+                mid = jnp.where(good, mid_fp, 0.5 * (lo + hi))
                 g_mid = m_norm(events(sol(mid), px, py))
-                left = (jnp.signbit(f_lo) != jnp.signbit(g_mid)) | (g_mid == 0)
+                left = g_mid <= 0  # root in [lo, mid]
+                f_lo = jnp.where(left, jnp.where(side > 0, 0.5 * f_lo, f_lo),
+                                 g_mid)
+                f_hi = jnp.where(left, g_mid,
+                                 jnp.where(side < 0, 0.5 * f_hi, f_hi))
                 lo = jnp.where(left, lo, mid)
                 hi = jnp.where(left, mid, hi)
-                f_lo = jnp.where(left, f_lo, g_mid)
+                side = jnp.where(left, one, -one)
             t_root = hi
             y_root = sol(t_root)
 
