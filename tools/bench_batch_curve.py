@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
     ap.add_argument("--tableau", default="dp5", choices=["dp5", "bs3"])
+    ap.add_argument("--refine", type=int, default=12,
+                    help="event-refinement iterations (bench.py headline uses 8)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -51,6 +53,7 @@ def main():
         physics="pallas" if backend == "tpu" else "fixed",
         substeps=args.substeps,
         pallas_tableau=args.tableau,
+        refine_iters=args.refine,
     )
     base = None
     for batch in [int(b) for b in args.batches.split(",")]:
