@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--tableau", default="dp5", choices=["dp5", "bs3"])
+    ap.add_argument("--refine", type=int, default=12,
+                    help="event-refinement iterations (bench.py headline uses 8)")
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace into this directory")
     ap.add_argument("--smoke", action="store_true")
@@ -54,6 +57,8 @@ def main():
         space_gym_tpu.get_config(args.env),
         physics="pallas" if backend == "tpu" else "fixed",
         substeps=args.substeps,
+        pallas_tableau=args.tableau,
+        refine_iters=args.refine,
     )
     pol = eng.random_policy()
 
