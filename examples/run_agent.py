@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--out", default="/tmp/spacegym_replays")
     ap.add_argument("--display", action="store_true", help="live window instead of GIFs")
     ap.add_argument("--every", type=int, default=2, help="render every k-th step")
+    ap.add_argument("--no-gif", action="store_true",
+                    help="skip rendering/GIF writing (protocol scoring only; "
+                         "PIL rasterization dominates the 20-episode runs)")
     ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
                     help="must match the checkpoint's training --obs-features "
                          "(the actor's input includes the appended features)")
@@ -148,7 +151,7 @@ def main():
             total += r
             if args.display:
                 env.render()
-            elif t % args.every == 0:
+            elif not args.no_gif and t % args.every == 0:
                 frames.append(env.render(mode="rgb_array"))
             t += 1
         returns.append(total)
