@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--no-gif", action="store_true",
                     help="skip rendering/GIF writing (protocol scoring only; "
                          "PIL rasterization dominates the 20-episode runs)")
-    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal", "dnc"],
                     help="must match the checkpoint's training --obs-features "
                          "(the actor's input includes the appended features)")
     args = ap.parse_args()

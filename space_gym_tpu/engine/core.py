@@ -36,8 +36,9 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..envs import goal_math, kepler_math
-from ..envs.config import DISCRETE_ACTIONS, TASK_GOAL, TASK_KEPLER, EnvConfig
+from ..envs import dnc_math, goal_math, kepler_math
+from ..envs.config import (DISCRETE_ACTIONS, TASK_DO_NOT_CRASH, TASK_GOAL,
+                           TASK_KEPLER, EnvConfig)
 from ..ops import events as events_mod
 from ..ops import exact
 from ..ops import field, fixed_rk, rk45
@@ -138,17 +139,20 @@ class EnvEngine:
         # surface, quirk Q1) is untouched when the flag is off (default).
         # Consumers should size networks/replay off `self.obs_dim`, which
         # includes the appended features; `config.obs_dim` stays the raw dim.
-        if obs_features not in (None, "kepler", "goal"):
+        if obs_features not in (None, "kepler", "goal", "dnc"):
             raise ValueError(f"unknown obs_features {obs_features!r}")
         if obs_features == "kepler" and config.task != TASK_KEPLER:
             raise ValueError("obs_features='kepler' requires a Kepler env")
         if obs_features == "goal" and config.task != TASK_GOAL:
             raise ValueError("obs_features='goal' requires a Goal env")
+        if obs_features == "dnc" and config.task != TASK_DO_NOT_CRASH:
+            raise ValueError("obs_features='dnc' requires a DoNotCrash env")
         self.obs_features = obs_features
         self.obs_dim = config.obs_dim + {
             None: 0,
             "kepler": kepler_math.N_ERROR_FEATURES,
             "goal": goal_math.N_GOAL_FEATURES,
+            "dnc": dnc_math.N_DNC_FEATURES,
         }[obs_features]
 
         # --- per-lane randomness budgets, counted by abstract tracing ---
@@ -207,6 +211,8 @@ class EnvEngine:
         d = self.config.obs_dim
         if self.obs_features == "goal":
             feats = goal_math.features_for_config(jnp, obs, self.config)
+        elif self.obs_features == "dnc":
+            feats = dnc_math.features_for_config(jnp, obs, self.config)
         else:
             feats = kepler_math.error_features(
                 jnp,

@@ -279,3 +279,103 @@ def test_sac_trainer_with_goal_features():
     st = tr.init(jax.random.key(0))
     st, m = tr.train_iter(st, jax.random.key(1))
     assert np.isfinite(float(np.asarray(m["critic_loss"])))
+
+
+def test_dnc_default_engine_unchanged():
+    from space_gym_tpu.envs import dnc_math as dm
+
+    cfg = space_gym_tpu.get_config("DoNotCrashContinuous-v0")
+    plain = EnvEngine(cfg, physics="fixed")
+    feat = EnvEngine(cfg, physics="fixed", obs_features="dnc")
+    assert feat.obs_dim == cfg.obs_dim + dm.N_DNC_FEATURES
+
+    sp, op = plain._reset_batched(jax.random.key(3), 16)
+    sf, of = feat._reset_batched(jax.random.key(3), 16)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(of[:, : cfg.obs_dim]))
+    a = jnp.full((16, 2), 0.25, jnp.float32)
+    sp, tsp = plain._step_batched(sp, a, jax.random.key(4))
+    sf, tsf = feat._step_batched(sf, a, jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(tsp.reward), np.asarray(tsf.reward))
+    np.testing.assert_array_equal(
+        np.asarray(tsp.obs), np.asarray(tsf.obs[:, : cfg.obs_dim]))
+
+
+def test_dnc_features_vs_state_ground_truth():
+    """Features reproduce the survival geometry computed from the state:
+    annulus margins (the two crash events' distances-to-fire), radial /
+    tangential velocity in the origin-centered frame, the vis-viva circular
+    speed error, and the omega-cap margin (the third terminal event)."""
+    from space_gym_tpu.envs import dnc_math as dm
+    from space_gym_tpu.ops.constants import G
+
+    cfg = space_gym_tpu.get_config("DoNotCrashContinuous-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="dnc")
+    state, obs = eng._reset_batched(jax.random.key(11), 32)
+    feats = np.asarray(obs[:, cfg.obs_dim :], np.float64)
+    pos = np.asarray(state.y[:, 0:2], np.float64)
+    vel = np.asarray(state.y[:, 3:5], np.float64)
+    w = np.asarray(state.y[:, 5], np.float64)
+    gm = G * cfg.dnc.planet_mass
+
+    nm = len(dm.MARGIN_GAINS)
+    nv = len(dm.VEL_GAINS)
+    no = len(dm.ORBIT_GAINS)
+    for i in range(32):
+        r = np.linalg.norm(pos[i])
+        rhat = pos[i] / r
+        v_rad = vel[i] @ rhat
+        v_tan = vel[i][0] * rhat[1] - vel[i][1] * rhat[0]
+        # margins (gain 1)
+        np.testing.assert_allclose(
+            feats[i, 0], np.tanh(r - cfg.dnc.planet_radius), atol=1e-5)
+        np.testing.assert_allclose(
+            feats[i, nm], np.tanh(cfg.dnc.border_radius - r), atol=1e-5)
+        # radial / tangential velocity (gain 1)
+        np.testing.assert_allclose(feats[i, 2 * nm], np.tanh(v_rad), atol=1e-5)
+        np.testing.assert_allclose(
+            feats[i, 2 * nm + nv], np.tanh(v_tan), atol=1e-5)
+        # orbit-speed error (first gain)
+        k = 2 * nm + 2 * nv
+        np.testing.assert_allclose(
+            feats[i, k],
+            np.tanh(dm.ORBIT_GAINS[0] * (abs(v_tan) - np.sqrt(gm / r))),
+            atol=1e-5)
+        # omega-cap margin (first gain)
+        k2 = k + 2 * no
+        np.testing.assert_allclose(
+            feats[i, k2],
+            np.tanh(dm.OMEGA_GAINS[0] * (cfg.max_abs_vel_angle - abs(w[i]))),
+            atol=1e-5)
+
+
+def test_dnc_features_np_jnp_agree():
+    from space_gym_tpu.envs import dnc_math as dm
+
+    cfg = space_gym_tpu.get_config("DoNotCrashContinuous-v0")
+    eng = EnvEngine(cfg, physics="fixed")
+    _, obs = eng._reset_batched(jax.random.key(5), 16)
+    f_np = dm.features_for_config(np, np.asarray(obs), cfg)
+    f_j = np.asarray(dm.features_for_config(jnp, obs, cfg))
+    assert f_np.shape == (16, dm.N_DNC_FEATURES)
+    np.testing.assert_allclose(f_np, f_j, atol=1e-6)
+
+
+def test_dnc_features_reject_wrong_task():
+    cfg = space_gym_tpu.get_config("GoalContinuous2P-v0")
+    with pytest.raises(ValueError):
+        EnvEngine(cfg, physics="fixed", obs_features="dnc")
+
+
+def test_sac_trainer_with_dnc_features():
+    from space_gym_tpu.envs import dnc_math as dm
+    from space_gym_tpu.models import SACConfig, SACTrainer
+
+    cfg = space_gym_tpu.get_config("DoNotCrashContinuous-v0")
+    eng = EnvEngine(cfg, physics="fixed", obs_features="dnc")
+    tr = SACTrainer(eng, SACConfig(
+        lanes=8, rollout_len=4, replay_rows=16, batch_size=16,
+        updates_per_iter=1, warmup_rows=1, hidden=(32, 32)))
+    assert tr.obs_dim == cfg.obs_dim + dm.N_DNC_FEATURES
+    st = tr.init(jax.random.key(0))
+    st, m = tr.train_iter(st, jax.random.key(1))
+    assert np.isfinite(float(np.asarray(m["critic_loss"])))

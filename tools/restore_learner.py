@@ -79,7 +79,7 @@ def main():
     ap.add_argument("--npz", required=True)
     ap.add_argument("--env", default="KeplerCircleOrbit-v0")
     ap.add_argument("--out", required=True, help="orbax checkpoint dir to write")
-    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal", "dnc"],
                     help="target engine obs featurization (must match the "
                          "training run's --obs-features)")
     ap.add_argument("--from-obs-dim", type=int, default=None,

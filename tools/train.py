@@ -107,7 +107,7 @@ def main():
                          "amortizes per-dispatch tunnel latency")
     ap.add_argument("--physics", default=None,
                     help="engine physics mode; default: pallas on TPU, fixed elsewhere")
-    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal"],
+    ap.add_argument("--obs-features", default=None, choices=["kepler", "goal", "dnc"],
                     help="append analytic obs features at the engine boundary "
                          "(kepler: orbit-error terms, see "
                          "kepler_math.error_features; goal: goal/danger/border "
